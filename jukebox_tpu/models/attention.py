@@ -1,0 +1,425 @@
+"""Factored (sparse) attention — TPU-native equivalent of
+jukebox/transformer/factored_attention.py.
+
+One module implements the reference's 8 attention primitives, selected by
+`attn_func`:
+    0 dense        attend to all previous positions
+    1 block (row)  attend within your block of the [blocks, n_ctx//blocks] grid
+    2 transpose    attend to the same column of previous blocks
+    3 prev-block   attend to the whole previous block
+    4 summary      attend to the last position of each previous block
+    5 summary-spread  attend to the last `spread` positions of each block
+    6 decode       cross-attention to fixed encoder K/V
+    7 prime        attend to the first _prime_len positions (lyric prefix)
+
+Three execution modes, all static-shape:
+  * `apply`          — full-context training/teacher-forced forward. Each
+                       pattern is a reshape + batched matmul (MXU-friendly);
+                       masks are built once at trace time.
+  * `decode_step`    — incremental decoding of ONE token against a
+                       fixed-size ring cache. Replaces the reference's
+                       grow-and-slice cache dict (factored_attention.py:355-381)
+                       with per-pattern static buffers whose sizes equal the
+                       reference's `_suff_cache_len` retention (:328-353):
+                         func 0: [bs, n_ctx, s]          func 1: [bs, bc, s]
+                         func 2: [bs, bc, blocks, s]     func 3: [bs, 2, bc, s]
+                         func 6: encoder K/V             func 7: [bs, prime_cache, s]
+  * `prefill_chunk`  — cache prefill of a block-aligned chunk of K*block_ctx
+                       tokens (the reference's chunked priming,
+                       autoregressive.py:284-327, re-done with static shapes).
+"""
+
+import math
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from jukebox_tpu.ops.core import dense, dense_init
+
+_PRECISION = lax.Precision.HIGHEST
+NEG = -1e9
+
+
+# ---------------------------------------------------------------------------
+# Static masks (trace-time numpy; reference get_mask, factored_attention.py:15-28)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _causal_mask(q_l, kv_l, offset):
+    m = np.tril(np.ones((q_l, kv_l), dtype=np.float32), offset)
+    return jnp.asarray(m)
+
+
+@lru_cache(maxsize=None)
+def _summary_mask(q_l, blocks, spread):
+    """Query i attends the pad slot plus summaries of completed blocks
+    (reference get_mask 'summary', factored_attention.py:25)."""
+    bc = q_l // blocks
+    tril = np.tril(np.ones((q_l, q_l), dtype=np.float32))
+    m = tril.reshape(q_l, blocks, bc)[:, :-1, -spread:]
+    m = np.pad(m, ((0, 0), (1, 0), (0, 0)), constant_values=1.0)
+    return jnp.asarray(m.reshape(q_l, blocks * spread))
+
+
+# ---------------------------------------------------------------------------
+# Dense attention core (reference _attn, factored_attention.py:82-108)
+# ---------------------------------------------------------------------------
+
+def split_heads(x, n_head):
+    B, L, D = x.shape
+    return x.reshape(B, L, n_head, D // n_head).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    B, H, L, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, L, H * hd)
+
+
+def dense_attn(q, k, v, n_head, mask=None, record=False):
+    """q,k,v: [B, L, n_state] (kv may have a different L). mask: [Lq, Lkv]
+    or broadcastable; None = attend everywhere. Softmax in fp32, output in
+    q.dtype. Scale uses the reference's fused q*s @ k*s trick (:82-88)."""
+    hd = q.shape[-1] // n_head
+    scale = 1.0 / math.sqrt(math.sqrt(hd))
+    qh = split_heads(q, n_head) * jnp.asarray(scale, q.dtype)
+    kh = split_heads(k, n_head) * jnp.asarray(scale, k.dtype)
+    vh = split_heads(v, n_head)
+    w = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, precision=_PRECISION,
+                   preferred_element_type=jnp.float32)
+    if mask is not None:
+        w = w * mask + NEG * (1 - mask)
+    w = jax.nn.softmax(w, axis=-1)
+    rec = w if record else None
+    a = jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), vh, precision=_PRECISION,
+                   preferred_element_type=q.dtype)
+    return merge_heads(a), rec
+
+
+@dataclass(frozen=True)
+class FactoredAttention:
+    n_in: int
+    n_ctx: int
+    n_state: int
+    n_head: int
+    attn_func: int = 0
+    blocks: Optional[int] = None
+    spread: Optional[int] = None
+    encoder_dims: Optional[int] = None
+    prime_len: Optional[int] = None
+    mask: bool = False
+    zero_out: bool = False
+    init_scale: float = 1.0
+
+    def __post_init__(self):
+        assert self.n_state % self.n_head == 0
+        if self.blocks is not None:
+            assert self.n_ctx % self.blocks == 0
+
+    @property
+    def block_ctx(self):
+        return self.n_ctx // self.blocks
+
+    @property
+    def _prime_len(self):
+        """Block-aligned prime cache length (factored_attention.py:303-308)."""
+        prime_blocks = (self.prime_len // self.blocks) + 1
+        return prime_blocks * self.blocks
+
+    # -- params ---------------------------------------------------------------
+
+    def init(self, rng):
+        r1, r2, r3 = jax.random.split(rng, 3)
+        if self.attn_func == 6:
+            p = {
+                "c_attn": dense_init(r1, self.n_in, self.n_state, self.init_scale),
+                "c_enc_kv": dense_init(r3, self.n_in, self.n_state * 2, self.init_scale),
+            }
+        else:
+            p = {"c_attn": dense_init(r1, self.n_in, self.n_state * 3, self.init_scale)}
+        p["c_proj"] = dense_init(r2, self.n_state, self.n_in, self.init_scale,
+                                 zero_out=self.zero_out)
+        return p
+
+    # -- full-context forward (training / teacher-forced) ---------------------
+
+    def _qkv(self, params, x, encoder_kv):
+        if self.attn_func == 6:
+            q = dense(params["c_attn"], x)
+            kv = dense(params["c_enc_kv"], encoder_kv.astype(x.dtype))
+            k, v = jnp.split(kv, 2, axis=2)
+        else:
+            assert encoder_kv is None
+            q, k, v = jnp.split(dense(params["c_attn"], x), 3, axis=2)
+        return q, k, v
+
+    def apply(self, params, x, encoder_kv=None, record=False):
+        """x: [B, L, n_in] with L == n_ctx (full context). Returns
+        (out [B, L, n_in], attn weights or None)."""
+        q, k, v = self._qkv(params, x, encoder_kv)
+        a, w = self._pattern_full(q, k, v, record=record)
+        if record and self.attn_func == 7:
+            # keep music queries x lyric keys only (factored_attention.py:101-105)
+            w = w[:, :, self.prime_len:, : self.prime_len]
+        return dense(params["c_proj"], a), w
+
+    def _pattern_full(self, q, k, v, record=False):
+        f = self.attn_func
+        B, L, S = v.shape
+        if f == 0:
+            mask = _causal_mask(L, L, 0) if self.mask else None
+            return dense_attn(q, k, v, self.n_head, mask, record)
+        if f == 1:
+            bc = self.block_ctx
+            mask = _causal_mask(bc, bc, 0) if self.mask else None
+            qb = q.reshape(B * L // bc, bc, S)
+            kb = k.reshape(B * L // bc, bc, S)
+            vb = v.reshape(B * L // bc, bc, S)
+            a, w = dense_attn(qb, kb, vb, self.n_head, mask, record)
+            return a.reshape(B, L, S), w
+        if f == 2:
+            bc = self.block_ctx
+            nb = L // bc
+            mask = _causal_mask(nb, nb, 0) if self.mask else None
+            def t_(x):
+                return (x.reshape(B, nb, bc, S).transpose(0, 2, 1, 3)
+                        .reshape(B * bc, nb, S))
+            a, w = dense_attn(t_(q), t_(k), t_(v), self.n_head, mask, record)
+            a = a.reshape(B, bc, nb, S).transpose(0, 2, 1, 3).reshape(B, L, S)
+            return a, w
+        if f == 3:
+            bc = self.block_ctx
+            nb = L // bc
+            def shift(x):
+                xb = x.reshape(B, nb, bc, S)
+                return jnp.concatenate(
+                    [jnp.zeros_like(xb[:, :1]), xb[:, :-1]], axis=1
+                ).reshape(B * nb, bc, S)
+            qb = q.reshape(B * nb, bc, S)
+            a, w = dense_attn(qb, shift(k), shift(v), self.n_head, None, record)
+            return a.reshape(B, L, S), w
+        if f in (4, 5):
+            blocks = self.blocks
+            bc = L // blocks
+            spread = 1 if f == 4 else self.spread
+            def summarize(x):
+                xb = x.reshape(B, blocks, bc, S)[:, :-1, -spread:, :]
+                xb = jnp.pad(xb, ((0, 0), (1, 0), (0, 0), (0, 0)))
+                return xb.reshape(B, blocks * spread, S)
+            mask = _summary_mask(L, blocks, spread) if self.mask else None
+            return dense_attn(q, summarize(k), summarize(v), self.n_head, mask, record)
+        if f == 6:
+            return dense_attn(q, k, v, self.n_head, None, record)
+        if f == 7:
+            pl_ = self._prime_len
+            mask = _causal_mask(q.shape[1], pl_, 0) if self.mask else None
+            return dense_attn(q, k[:, :pl_], v[:, :pl_], self.n_head, mask, record)
+        raise NotImplementedError(f"attn_func {f}")
+
+    # -- KV cache -------------------------------------------------------------
+
+    def cache_len(self, sample_ctx=None):
+        """Static cache size; matches the reference's maximal
+        `_suff_cache_len` retention per pattern (:328-353)."""
+        f = self.attn_func
+        n = self.n_ctx if sample_ctx is None else sample_ctx
+        if f == 0:
+            return n
+        if f == 1:
+            return self.block_ctx
+        if f == 2:
+            return None  # stored as [bc, blocks]
+        if f == 3:
+            return 2 * self.block_ctx
+        if f == 6:
+            return self.encoder_dims
+        if f == 7:
+            return self._prime_len
+        raise NotImplementedError(f"attn_func {f} decode")
+
+    def init_cache(self, params, bs, dtype, encoder_kv=None, sample_ctx=None):
+        f = self.attn_func
+        S = self.n_state
+        if f == 6:
+            kv = dense(params["c_enc_kv"], encoder_kv.astype(dtype))
+            k, v = jnp.split(kv, 2, axis=2)
+            return {"k": k, "v": v}
+        if f == 2:
+            shape = (bs, self.block_ctx, self.blocks, S)
+        else:
+            shape = (bs, self.cache_len(sample_ctx), S)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+    def _write_token(self, cache, k, v, t):
+        """Write one token's K/V (k,v: [B, 1, S]) at position t."""
+        f = self.attn_func
+        bc = self.block_ctx if self.blocks else None
+        if f == 0:
+            return {"k": lax.dynamic_update_slice(cache["k"], k, (0, t, 0)),
+                    "v": lax.dynamic_update_slice(cache["v"], v, (0, t, 0))}
+        if f == 1:
+            s = t % bc
+            return {"k": lax.dynamic_update_slice(cache["k"], k, (0, s, 0)),
+                    "v": lax.dynamic_update_slice(cache["v"], v, (0, s, 0))}
+        if f == 2:
+            c, b = t % bc, t // bc
+            k4 = k[:, :, None, :]
+            v4 = v[:, :, None, :]
+            return {"k": lax.dynamic_update_slice(cache["k"], k4, (0, c, b, 0)),
+                    "v": lax.dynamic_update_slice(cache["v"], v4, (0, c, b, 0))}
+        if f == 3:
+            ring, c = (t // bc) % 2, t % bc
+            start = ring * bc + c
+            return {"k": lax.dynamic_update_slice(cache["k"], k, (0, start, 0)),
+                    "v": lax.dynamic_update_slice(cache["v"], v, (0, start, 0))}
+        if f == 6:
+            return cache
+        if f == 7:
+            pl_ = self._prime_len
+            idx = jnp.where(t < pl_, t, pl_ + 1)  # out-of-range -> dropped
+            return {"k": cache["k"].at[:, idx].set(k[:, 0], mode="drop"),
+                    "v": cache["v"].at[:, idx].set(v[:, 0], mode="drop")}
+        raise NotImplementedError(f"attn_func {f} decode")
+
+    def decode_step(self, params, cache, x, t, encoder_kv=None):
+        """One-token incremental decode. x: [B, 1, n_in], t: traced scalar
+        position. Returns (out [B, 1, n_in], cache)."""
+        f = self.attn_func
+        q, k, v = self._qkv(params, x, encoder_kv if f == 6 else None)
+        cache = self._write_token(cache, k, v, t)
+        bc = self.block_ctx if self.blocks else None
+
+        if f == 0:
+            L = cache["k"].shape[1]
+            slots = jnp.arange(L)[None, :]
+            mask = (slots <= t).astype(jnp.float32)
+            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
+        elif f == 1:
+            slots = jnp.arange(bc)[None, :]
+            mask = (slots <= t % bc).astype(jnp.float32)
+            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
+        elif f == 2:
+            c = t % bc
+            kr = lax.dynamic_slice(cache["k"], (0, c, 0, 0),
+                                   (q.shape[0], 1, self.blocks, self.n_state))[:, 0]
+            vr = lax.dynamic_slice(cache["v"], (0, c, 0, 0),
+                                   (q.shape[0], 1, self.blocks, self.n_state))[:, 0]
+            slots = jnp.arange(self.blocks)[None, :]
+            mask = (slots <= t // bc).astype(jnp.float32)
+            a, _ = dense_attn(q, kr, vr, self.n_head, mask)
+        elif f == 3:
+            prev_ring = ((t // bc) - 1) % 2
+            kr = lax.dynamic_slice(cache["k"], (0, prev_ring * bc, 0),
+                                   (q.shape[0], bc, self.n_state))
+            vr = lax.dynamic_slice(cache["v"], (0, prev_ring * bc, 0),
+                                   (q.shape[0], bc, self.n_state))
+            # first block: ring slot 1 is still zeros -> uniform attn over
+            # zero values = 0, same as the reference's zero K/V (:179-181)
+            a, _ = dense_attn(q, kr, vr, self.n_head, None)
+        elif f == 6:
+            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, None)
+        elif f == 7:
+            pl_ = self._prime_len
+            slots = jnp.arange(pl_)[None, :]
+            mask = (slots <= jnp.minimum(t, pl_ - 1)).astype(jnp.float32)
+            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
+        else:
+            raise NotImplementedError(f"attn_func {f} decode")
+
+        return dense(params["c_proj"], a), cache
+
+    # -- chunked prefill ------------------------------------------------------
+
+    def prefill_chunk(self, params, cache, x, t0, n_blocks, encoder_kv=None):
+        """Prefill the cache with a block-aligned chunk.
+
+        x: [B, C, n_in] with C = n_blocks * block_ctx (or arbitrary C for
+        funcs 0/6/7); t0: traced start position, multiple of block_ctx.
+        Returns (out [B, C, n_in], cache).
+        """
+        f = self.attn_func
+        q, k, v = self._qkv(params, x, encoder_kv if f == 6 else None)
+        B, C, S = v.shape
+        bc = self.block_ctx if self.blocks else None
+
+        if f == 0:
+            cache = {"k": lax.dynamic_update_slice(cache["k"], k, (0, t0, 0)),
+                     "v": lax.dynamic_update_slice(cache["v"], v, (0, t0, 0))}
+            L = cache["k"].shape[1]
+            mask = (jnp.arange(L)[None, :] <= (t0 + jnp.arange(C))[:, None])
+            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head,
+                              mask.astype(jnp.float32))
+        elif f == 1:
+            assert C == n_blocks * bc
+            mask = _causal_mask(bc, bc, 0)
+            qb = q.reshape(B * n_blocks, bc, S)
+            kb = k.reshape(B * n_blocks, bc, S)
+            vb = v.reshape(B * n_blocks, bc, S)
+            a, _ = dense_attn(qb, kb, vb, self.n_head, mask)
+            a = a.reshape(B, C, S)
+            # only the final block's K/V matters for future steps
+            cache = {"k": k[:, -bc:], "v": v[:, -bc:]}
+        elif f == 2:
+            assert C == n_blocks * bc
+            b0 = t0 // bc
+            # write chunk columns into [bc, blocks] layout
+            kcol = k.reshape(B, n_blocks, bc, S).transpose(0, 2, 1, 3)
+            vcol = v.reshape(B, n_blocks, bc, S).transpose(0, 2, 1, 3)
+            cache = {"k": lax.dynamic_update_slice(cache["k"], kcol, (0, 0, b0, 0)),
+                     "v": lax.dynamic_update_slice(cache["v"], vcol, (0, 0, b0, 0))}
+            # query (local block j, column c) attends cache[c, :b0+j+1]
+            qc = q.reshape(B, n_blocks, bc, S).transpose(0, 2, 1, 3)  # [B, bc, nb, S]
+            mask = (jnp.arange(self.blocks)[None, :]
+                    <= (b0 + jnp.arange(n_blocks))[:, None])  # [nb, blocks]
+            qh = qc.reshape(B * bc, n_blocks, S)
+            kh = cache["k"].reshape(B * bc, self.blocks, S)
+            vh = cache["v"].reshape(B * bc, self.blocks, S)
+            a, _ = dense_attn(qh, kh, vh, self.n_head, mask.astype(jnp.float32))
+            a = (a.reshape(B, bc, n_blocks, S).transpose(0, 2, 1, 3)
+                 .reshape(B, C, S))
+        elif f == 3:
+            assert C == n_blocks * bc
+            b0 = t0 // bc
+            prev_ring = (b0 - 1) % 2
+            prev_k = lax.dynamic_slice(cache["k"], (0, prev_ring * bc, 0), (B, bc, S))
+            prev_v = lax.dynamic_slice(cache["v"], (0, prev_ring * bc, 0), (B, bc, S))
+            kb = k.reshape(B, n_blocks, bc, S)
+            vb = v.reshape(B, n_blocks, bc, S)
+            k_shift = jnp.concatenate([prev_k[:, None], kb[:, :-1]], axis=1)
+            v_shift = jnp.concatenate([prev_v[:, None], vb[:, :-1]], axis=1)
+            a, _ = dense_attn(q.reshape(B * n_blocks, bc, S),
+                              k_shift.reshape(B * n_blocks, bc, S),
+                              v_shift.reshape(B * n_blocks, bc, S),
+                              self.n_head, None)
+            a = a.reshape(B, C, S)
+            # maintain the double buffer: write the chunk's last two blocks
+            last_ring = (b0 + n_blocks - 1) % 2
+            cache = {"k": lax.dynamic_update_slice(cache["k"], kb[:, -1],
+                                                   (0, last_ring * bc, 0)),
+                     "v": lax.dynamic_update_slice(cache["v"], vb[:, -1],
+                                                   (0, last_ring * bc, 0))}
+            if n_blocks >= 2:
+                other = (b0 + n_blocks - 2) % 2
+                cache = {"k": lax.dynamic_update_slice(cache["k"], kb[:, -2],
+                                                       (0, other * bc, 0)),
+                         "v": lax.dynamic_update_slice(cache["v"], vb[:, -2],
+                                                       (0, other * bc, 0))}
+        elif f == 6:
+            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, None)
+        elif f == 7:
+            pl_ = self._prime_len
+            pos = t0 + jnp.arange(C)
+            idx = jnp.where(pos < pl_, pos, pl_ + 1)
+            cache = {"k": cache["k"].at[:, idx].set(k, mode="drop"),
+                     "v": cache["v"].at[:, idx].set(v, mode="drop")}
+            mask = (jnp.arange(pl_)[None, :] <= jnp.minimum(pos, pl_ - 1)[:, None])
+            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head,
+                              mask.astype(jnp.float32))
+        else:
+            raise NotImplementedError(f"attn_func {f} prefill")
+
+        return dense(params["c_proj"], a), cache
