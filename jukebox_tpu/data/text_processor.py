@@ -7,8 +7,11 @@ import re
 
 try:
     from unidecode import unidecode
-except ImportError:  # pragma: no cover - fallback ascii projection
+except ImportError:  # fallback: NFKD-decompose accents, then drop non-ascii
+    import unicodedata
+
     def unidecode(text):
+        text = unicodedata.normalize("NFKD", text)
         return text.encode("ascii", errors="ignore").decode("ascii")
 
 

@@ -49,10 +49,13 @@ NEG = -1e9
 # Static masks (trace-time numpy; reference get_mask, factored_attention.py:15-28)
 # ---------------------------------------------------------------------------
 
+# NOTE: masks are returned as *numpy* arrays. They are embedded as XLA
+# constants at trace time; returning jax Arrays from an lru_cache would leak
+# tracers across jit traces (JAX >= 0.9 stages constants as tracers).
+
 @lru_cache(maxsize=None)
 def _causal_mask(q_l, kv_l, offset):
-    m = np.tril(np.ones((q_l, kv_l), dtype=np.float32), offset)
-    return jnp.asarray(m)
+    return np.tril(np.ones((q_l, kv_l), dtype=np.float32), offset)
 
 
 @lru_cache(maxsize=None)
@@ -63,7 +66,7 @@ def _summary_mask(q_l, blocks, spread):
     tril = np.tril(np.ones((q_l, q_l), dtype=np.float32))
     m = tril.reshape(q_l, blocks, bc)[:, :-1, -spread:]
     m = np.pad(m, ((0, 0), (1, 0), (0, 0)), constant_values=1.0)
-    return jnp.asarray(m.reshape(q_l, blocks * spread))
+    return m.reshape(q_l, blocks * spread)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,365 @@
+"""Model factories, registry and checkpoint plumbing — TPU equivalent of
+jukebox/make_models.py. Builds config dataclasses from the hparams registry
+and wraps them in thin host-side runtimes that own the parameter pytrees and
+cache jitted apply functions.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jukebox_tpu.hparams import REMOTE_PREFIX, Hyperparams, setup_hparams
+from jukebox_tpu.models.encdec import BlockCfg
+from jukebox_tpu.models.prior import SimplePrior
+from jukebox_tpu.models.vqvae import VQVAE, calculate_strides
+from jukebox_tpu.utils.checkpoints import load_checkpoint, save_checkpoint
+
+MODELS = {
+    "5b": ("vqvae", "upsampler_level_0", "upsampler_level_1", "prior_5b"),
+    "5b_lyrics": ("vqvae", "upsampler_level_0", "upsampler_level_1", "prior_5b_lyrics"),
+    "1b_lyrics": ("vqvae", "upsampler_level_0", "upsampler_level_1", "prior_1b_lyrics"),
+    # 'your_model': ("your_vqvae_here", "your_upsampler_here", ..., "your_top_prior_here")
+}
+
+
+# ---------------------------------------------------------------------------
+# Restore helpers
+# ---------------------------------------------------------------------------
+
+def _resolve_restore(path):
+    """Map a restore spec to a local file, mirroring the reference's
+    ~/.cache layout for azure-hosted checkpoints (make_models.py:24-39).
+    Returns None when nothing restorable exists (zero-egress: remote
+    checkpoints must be pre-seeded into the cache)."""
+    if not path:
+        return None
+    if path.startswith(REMOTE_PREFIX):
+        local = os.path.join(os.path.expanduser("~/.cache"),
+                             path[len(REMOTE_PREFIX):])
+        if os.path.exists(local):
+            return local
+        print(f"[make_models] remote checkpoint {path} not cached at {local}; "
+              f"using fresh init")
+        return None
+    if os.path.exists(path):
+        return path
+    print(f"[make_models] checkpoint {path} not found; using fresh init")
+    return None
+
+
+def _load_any(path, kind, model):
+    """Load a native pickle checkpoint or convert a torch .pth.tar."""
+    if path.endswith(".pth.tar"):
+        from jukebox_tpu.utils.torch_convert import convert_checkpoint
+        return convert_checkpoint(path, kind, model)
+    return load_checkpoint(path)
+
+
+def restore_model(runtime, checkpoint_path, kind):
+    runtime.step = 0
+    path = _resolve_restore(checkpoint_path)
+    if path is None:
+        return
+    ckpt = _load_any(path, kind, runtime.model)
+    runtime.params = jax.device_put(ckpt["params"])
+    if "state" in ckpt and ckpt["state"] is not None and hasattr(runtime, "state"):
+        runtime.state = jax.device_put(ckpt["state"])
+    runtime.step = int(ckpt.get("step", 0))
+    print(f"Restored from {path}")
+
+
+def restore_opt(opt_state, checkpoint_path):
+    path = _resolve_restore(checkpoint_path)
+    if path is None:
+        return opt_state, 0
+    ckpt = _load_any(path, "opt", None)
+    return ckpt.get("opt", opt_state), int(ckpt.get("step", 0))
+
+
+def save_model_checkpoint(logdir, name, runtime, opt_state, step, hps):
+    save_hps = {k: v for k, v in dict(hps).items()
+                if k not in ("metadata_v2", "metadata_v3", "alignments",
+                             "lyric_processor", "midi_processor", "bandwidth")}
+    payload = dict(hps=save_hps, params=runtime.params,
+                   state=getattr(runtime, "state", None),
+                   opt=opt_state, step=step)
+    save_checkpoint(f"{logdir}/checkpoint_{name}.jkb", payload)
+
+
+# ---------------------------------------------------------------------------
+# Runtimes
+# ---------------------------------------------------------------------------
+
+class VQVAERuntime:
+    """Owns VQVAE params + codebook state; mirrors the reference VQVAE public
+    surface (encode/decode/sample with bs_chunks microbatching,
+    vqvae.py:101-148)."""
+
+    def __init__(self, model: VQVAE, params, state):
+        self.model = model
+        self.params = params
+        self.state = state
+        self.step = 0
+        self._encode = jax.jit(model.encode, static_argnames=("start_level", "end_level"))
+        self._decode = jax.jit(model.decode, static_argnames=("start_level", "end_level"))
+
+    # mirrored attributes
+    @property
+    def sample_length(self):
+        return self.model.sample_length
+
+    @property
+    def z_shapes(self):
+        return self.model.z_shapes
+
+    @property
+    def levels(self):
+        return self.model.levels
+
+    @property
+    def downs_t(self):
+        return self.model.downs_t
+
+    @property
+    def strides_t(self):
+        return self.model.strides_t
+
+    @property
+    def l_bins(self):
+        return self.model.l_bins
+
+    def encode(self, x, start_level=0, end_level=None, bs_chunks=1):
+        x = jnp.asarray(x)
+        chunks = np.array_split(np.arange(x.shape[0]), bs_chunks)
+        zs_list = [self._encode(self.params, self.state, x[c],
+                                start_level=start_level, end_level=end_level)
+                   for c in chunks]
+        return [jnp.concatenate(z, axis=0) for z in zip(*zs_list)]
+
+    def decode(self, zs, start_level=0, end_level=None, bs_chunks=1):
+        zs = [jnp.asarray(z) for z in zs]
+        chunks = np.array_split(np.arange(zs[0].shape[0]), bs_chunks)
+        outs = [self._decode(self.params, self.state, [z[c] for z in zs],
+                             start_level=start_level, end_level=end_level)
+                for c in chunks]
+        return jnp.concatenate(outs, axis=0)
+
+    def sample(self, n_samples, rng=None):
+        rng = rng if rng is not None else jax.random.key(0)
+        zs = [jax.random.randint(jax.random.fold_in(rng, l), (n_samples, *shape),
+                                 0, self.model.l_bins)
+              for l, shape in enumerate(self.z_shapes)]
+        return self.decode(zs[0:1], start_level=0, end_level=1)
+
+    def forward(self, x, hps, loss_fn="l1", train=False, rng=None):
+        x_out, loss, metrics, self.state = self.model.forward(
+            self.params, self.state, jnp.asarray(x), hps, loss_fn=loss_fn,
+            train=train, rng=rng)
+        return x_out, loss, metrics
+
+
+class PriorRuntime:
+    """Owns SimplePrior params; mirrors the reference SimplePrior public
+    surface used by the sampling/training orchestration (prior.py:27-354)."""
+
+    def __init__(self, model: SimplePrior, params, vqvae: VQVAERuntime):
+        self.model = model
+        self.params = params
+        self.vqvae = vqvae
+        self.step = 0
+        self._sample = jax.jit(
+            model.sample,
+            static_argnames=("n_samples", "fp16", "temp", "top_k", "top_p",
+                             "chunk_size", "sample_tokens"))
+        self._z_forward = jax.jit(
+            model.z_forward, static_argnames=("fp16", "get_preds"))
+
+    # mirrored attributes
+    def __getattr__(self, name):
+        # fall through to the model config for n_ctx, raw_to_tokens,
+        # sample_length, labeller, n_tokens, levels, level, z_shapes, ...
+        return getattr(self.model, name)
+
+    def get_y(self, labels, start, get_indices=False):
+        return self.model.get_y(labels, start, get_indices=get_indices)
+
+    def get_z_conds(self, zs, start, end):
+        return self.model.get_z_conds(zs, start, end)
+
+    def encode(self, x, start_level=None, end_level=None, bs_chunks=1):
+        start_level = self.model.level if start_level is None else start_level
+        end_level = self.model.levels if end_level is None else end_level
+        return self.vqvae.encode(x, start_level=start_level, end_level=end_level,
+                                 bs_chunks=bs_chunks)
+
+    def decode(self, zs, start_level=None, end_level=None, bs_chunks=1):
+        start_level = self.model.level if start_level is None else start_level
+        end_level = self.model.levels if end_level is None else end_level
+        return self.vqvae.decode(zs, start_level=start_level, end_level=end_level,
+                                 bs_chunks=bs_chunks)
+
+    def sample(self, n_samples, z=None, z_conds=None, y=None, rng=None,
+               fp16=False, temp=1.0, top_k=0, top_p=0.0, chunk_size=None,
+               sample_tokens=None):
+        rng = rng if rng is not None else jax.random.key(np.random.randint(2**31))
+        if y is not None:
+            y = jnp.asarray(np.asarray(y))
+        if z is not None and z.shape[1] == 0:
+            z = None
+        if z_conds is not None:
+            z_conds = [jnp.asarray(zc) for zc in z_conds]
+        return self._sample(self.params, n_samples, rng, z=z, z_conds=z_conds,
+                            y=y, fp16=fp16, temp=temp, top_k=top_k, top_p=top_p,
+                            chunk_size=chunk_size, sample_tokens=sample_tokens)
+
+    def z_forward(self, z, z_conds=(), y=None, fp16=False, get_preds=False,
+                  get_attn_weights=False):
+        if get_attn_weights:
+            # attention recording is not jitted (returns a python list)
+            return self.model.z_forward(self.params, z, z_conds=z_conds, y=y,
+                                        fp16=fp16, get_preds=get_preds,
+                                        get_attn_weights=get_attn_weights)
+        if y is not None:
+            y = jnp.asarray(np.asarray(y))
+        return self._z_forward(self.params, z, z_conds, y, fp16=fp16,
+                               get_preds=get_preds)
+
+    def forward(self, x, y=None, fp16=False, decode=False, get_preds=False):
+        bs = x.shape[0]
+        z, *z_conds = self.encode(x, bs_chunks=bs)
+        loss, metrics = self.z_forward(z, z_conds=z_conds, y=y, fp16=fp16,
+                                       get_preds=get_preds)
+        x_out = self.decode([z, *z_conds]) if decode else None
+        return x_out, loss, metrics
+
+
+# ---------------------------------------------------------------------------
+# Factories (reference make_models.py:73-196)
+# ---------------------------------------------------------------------------
+
+def make_vqvae(hps, device=None):
+    block = BlockCfg(width=hps.width, depth=hps.depth, m_conv=hps.m_conv,
+                     dilation_growth_rate=hps.dilation_growth_rate,
+                     dilation_cycle=hps.dilation_cycle,
+                     reverse_decoder_dilation=hps.vqvae_reverse_decoder_dilation)
+
+    if not hps.sample_length:
+        assert hps.sample_length_in_seconds != 0
+        downsamples = calculate_strides(hps.strides_t, hps.downs_t)
+        top_raw_to_tokens = int(np.prod(downsamples))
+        hps.sample_length = ((hps.sample_length_in_seconds * hps.sr)
+                             // top_raw_to_tokens) * top_raw_to_tokens
+        print(f"Setting sample length to {hps.sample_length} "
+              f"(i.e. {hps.sample_length / hps.sr} seconds) to be a multiple "
+              f"of {top_raw_to_tokens}")
+
+    model = VQVAE(input_shape=(hps.sample_length, 1), levels=hps.levels,
+                  downs_t=tuple(hps.downs_t), strides_t=tuple(hps.strides_t),
+                  emb_width=hps.emb_width, l_bins=hps.l_bins, mu=hps.l_mu,
+                  commit=hps.commit, spectral=hps.spectral,
+                  multispectral=hps.multispectral,
+                  multipliers=tuple(hps.hvqvae_multipliers) if hps.hvqvae_multipliers else None,
+                  use_bottleneck=hps.use_bottleneck, block=block)
+
+    params = model.init(jax.random.key(hps.get("seed", 0)))
+    state = model.init_state()
+    runtime = VQVAERuntime(model, params, state)
+    restore_model(runtime, hps.restore_vqvae, "vqvae")
+
+    if hps.get("train", False) and not hps.get("prior", False):
+        if hps.restore_vqvae:
+            # reset bottleneck EMA stats for finetuning (make_models.py:99-105)
+            downsamples = calculate_strides(hps.strides_t, hps.downs_t)
+            blocks = []
+            for level, s in enumerate(runtime.state["level_blocks"]):
+                raw_to_tokens = int(np.prod(downsamples[: level + 1]))
+                num_tokens = hps.sample_length // raw_to_tokens
+                blocks.append(model.bottleneck.block.restore_state(
+                    s["k"], num_tokens=num_tokens,
+                    threshold=hps.revival_threshold))
+            runtime.state = {"level_blocks": blocks}
+    return runtime
+
+
+def make_prior(hps, vqvae: VQVAERuntime, device=None):
+    assert hps.get("attn_dropout", 0.0) == 0.0 and hps.get("resid_dropout", 0.0) == 0.0 \
+        and hps.get("emb_dropout", 0.0) == 0.0, \
+        "dropout is not implemented (all released configs use 0.0)"
+
+    train = hps.get("train", False)
+    prior_kwargs = dict(
+        input_shape=(hps.n_ctx,), bins=vqvae.l_bins,
+        width=hps.prior_width, depth=hps.prior_depth, heads=hps.heads,
+        attn_order=hps.attn_order, blocks=hps.blocks, spread=hps.spread,
+        zero_out=hps.zero_out, res_scale=hps.res_scale, pos_init=hps.pos_init,
+        init_scale=hps.init_scale, m_attn=hps.m_attn, m_mlp=hps.m_mlp,
+        checkpoint_res=hps.c_res if train else 0,
+        checkpoint_attn=hps.c_attn if train else 0,
+        checkpoint_mlp=hps.c_mlp if train else 0)
+
+    x_cond_kwargs = dict(
+        out_width=hps.prior_width, init_scale=hps.init_scale,
+        width=hps.cond_width, depth=hps.cond_depth, m_conv=hps.cond_m_conv,
+        dilation_growth_rate=hps.cond_dilation_growth_rate,
+        dilation_cycle=hps.cond_dilation_cycle,
+        zero_out=hps.cond_zero_out, res_scale=hps.cond_res_scale,
+        checkpoint_res=hps.cond_c_res)
+
+    y_cond_kwargs = dict(
+        out_width=hps.prior_width, init_scale=hps.init_scale,
+        y_bins=hps.y_bins, t_bins=hps.t_bins, sr=hps.sr,
+        min_duration=hps.min_duration, max_duration=hps.max_duration,
+        max_bow_genre_size=hps.max_bow_genre_size)
+
+    if hps.use_tokens and not hps.single_enc_dec:
+        prime_kwargs = dict(
+            use_tokens=hps.use_tokens, prime_loss_fraction=hps.prime_loss_fraction,
+            n_tokens=hps.n_tokens, bins=hps.n_vocab,
+            width=hps.prime_width, depth=hps.prime_depth, heads=hps.prime_heads,
+            attn_order=hps.prime_attn_order, blocks=hps.prime_blocks,
+            spread=hps.prime_spread, zero_out=hps.prime_zero_out,
+            res_scale=hps.prime_res_scale, pos_init=hps.prime_pos_init,
+            init_scale=hps.prime_init_scale, m_attn=hps.prime_m_attn,
+            m_mlp=hps.prime_m_mlp,
+            checkpoint_res=hps.prime_c_res if train else 0,
+            checkpoint_attn=hps.prime_c_attn if train else 0,
+            checkpoint_mlp=hps.prime_c_mlp if train else 0)
+    else:
+        prime_kwargs = dict(use_tokens=hps.use_tokens,
+                            prime_loss_fraction=hps.prime_loss_fraction,
+                            n_tokens=hps.n_tokens, bins=hps.n_vocab)
+
+    # z_shapes for other levels given this level gets n_ctx codes
+    rescale = lambda z_shape: (z_shape[0] * hps.n_ctx // vqvae.z_shapes[hps.level][0],)
+    z_shapes = [rescale(z_shape) for z_shape in vqvae.z_shapes]
+
+    model = SimplePrior(z_shapes=z_shapes, l_bins=vqvae.l_bins, level=hps.level,
+                        downs_t=vqvae.downs_t, strides_t=vqvae.strides_t,
+                        labels=hps.labels, prior_kwargs=prior_kwargs,
+                        x_cond_kwargs=x_cond_kwargs, y_cond_kwargs=y_cond_kwargs,
+                        prime_kwargs=prime_kwargs, copy_input=hps.copy_input,
+                        labels_v3=hps.labels_v3, merged_decoder=hps.merged_decoder,
+                        single_enc_dec=hps.single_enc_dec)
+    model.alignment_head = hps.get("alignment_head", None)
+    model.alignment_layer = hps.get("alignment_layer", None)
+
+    params = model.init(jax.random.key(hps.get("seed", 0) + hps.level + 1))
+    runtime = PriorRuntime(model, params, vqvae)
+    restore_model(runtime, hps.restore_prior, "prior")
+    return runtime
+
+
+def make_model(model, device, hps, levels=None):
+    vqvae_name, *prior_names = MODELS[model]
+    vqvae = make_vqvae(setup_hparams(
+        vqvae_name, dict(sample_length=hps.get("sample_length", 0),
+                         sample_length_in_seconds=hps.get("sample_length_in_seconds", 0))),
+        device)
+    hps.sample_length = vqvae.sample_length
+    if levels is None:
+        levels = range(len(prior_names))
+    priors = [make_prior(setup_hparams(prior_names[level], dict()), vqvae, device)
+              for level in levels]
+    return vqvae, priors

@@ -1,0 +1,270 @@
+"""Windowed ancestral sampling cascade — TPU equivalent of jukebox/sample.py.
+
+Top-level codes are generated first, then upsampled level by level; long
+outputs are produced window-by-window with `hop_fraction` overlap
+re-conditioning (sample.py:80-121). The window orchestration is host Python
+(like the reference); everything inside a window runs as jitted scans on
+device. Outputs: data.jkb (codes+labels), item_*.wav, alignment + html.
+"""
+
+import os
+import pickle
+
+import jax
+import numpy as np
+
+import jax.numpy as jnp
+
+from jukebox_tpu.data.labels import EmptyLabeller
+from jukebox_tpu.hparams import Hyperparams
+from jukebox_tpu.models.make_models import make_model
+from jukebox_tpu.utils.audio_utils import load_audio, save_wav
+from jukebox_tpu.utils.cli import fire
+from jukebox_tpu.utils.sample_utils import get_starts, split_batch
+
+
+def sample_partial_window(zs, labels, sampling_kwargs, level, prior,
+                          tokens_to_sample, hps, rng):
+    """Sample a window shorter than n_ctx (sample.py:17-28)."""
+    z = zs[level]
+    n_ctx = prior.n_ctx
+    current_tokens = z.shape[1]
+    if current_tokens < n_ctx - tokens_to_sample:
+        sampling_kwargs["sample_tokens"] = int(current_tokens + tokens_to_sample)
+        start = 0
+    else:
+        sampling_kwargs["sample_tokens"] = n_ctx
+        start = current_tokens - n_ctx + tokens_to_sample
+    return sample_single_window(zs, labels, sampling_kwargs, level, prior,
+                                start, hps, rng)
+
+
+def sample_single_window(zs, labels, sampling_kwargs, level, prior, start,
+                         hps, rng):
+    """Sample one n_ctx window at `start`, conditioning on the overlap with
+    already-sampled tokens (sample.py:31-78)."""
+    n_samples = hps.n_samples
+    n_ctx = prior.n_ctx
+    end = start + n_ctx
+
+    z = zs[level][:, start:end]
+    sample_tokens = sampling_kwargs.get("sample_tokens", end - start)
+    conditioning_tokens = z.shape[1]
+    new_tokens = sample_tokens - z.shape[1]
+    print(f"Sampling {sample_tokens} tokens for [{start},{start + sample_tokens}]. "
+          f"Conditioning on {conditioning_tokens} tokens")
+    if new_tokens <= 0:
+        return zs
+
+    z_conds = prior.get_z_conds(zs, start, end)
+    y = prior.get_y(labels, start)
+
+    if rng is None:
+        rng = jax.random.key(0)
+    kwargs = dict(sampling_kwargs)
+    max_batch_size = kwargs.pop("max_batch_size")
+    kwargs.setdefault("sample_tokens", sample_tokens)
+
+    z_list = split_batch(z, n_samples, max_batch_size)
+    z_conds_list = split_batch(z_conds, n_samples, max_batch_size)
+    y_list = split_batch(y, n_samples, max_batch_size)
+    z_samples = []
+    for i, (z_i, z_conds_i, y_i) in enumerate(zip(z_list, z_conds_list, y_list)):
+        z_samples_i = prior.sample(n_samples=z_i.shape[0], z=z_i,
+                                   z_conds=z_conds_i, y=y_i,
+                                   rng=jax.random.fold_in(rng, start * 131 + i),
+                                   **kwargs)
+        z_samples.append(np.asarray(z_samples_i))
+    z = np.concatenate(z_samples, axis=0)
+
+    z_new = z[:, -new_tokens:]
+    zs[level] = np.concatenate([zs[level], z_new], axis=1)
+    return zs
+
+
+def sample_level(zs, labels, sampling_kwargs, level, prior, total_length,
+                 hop_length, hps, rng):
+    """Sample total_length tokens at one level by hopping windows
+    (sample.py:81-88)."""
+    print(f"Sampling level {level}")
+    if total_length >= prior.n_ctx:
+        for start in get_starts(total_length, prior.n_ctx, hop_length):
+            zs = sample_single_window(zs, labels, sampling_kwargs, level, prior,
+                                      start, hps, rng)
+    else:
+        zs = sample_partial_window(zs, labels, sampling_kwargs, level, prior,
+                                   total_length, hps, rng)
+    return zs
+
+
+def _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps, rng=None):
+    """Top-to-bottom cascade: sample a level, decode, save, align, html
+    (sample.py:91-121)."""
+    from jukebox_tpu.align import get_alignment
+    from jukebox_tpu.save_html import save_html
+
+    rng = rng if rng is not None else jax.random.key(hps.get("seed", 0))
+    alignments = None
+    for level in reversed(sample_levels):
+        prior = priors[level]
+        assert hps.sample_length % prior.raw_to_tokens == 0, \
+            f"sample_length {hps.sample_length} not a multiple of {prior.raw_to_tokens}"
+        total_length = hps.sample_length // prior.raw_to_tokens
+        hop_length = int(hps.hop_fraction[level] * prior.n_ctx)
+        zs = sample_level(zs, labels[level], sampling_kwargs[level], level,
+                          prior, total_length, hop_length, hps,
+                          jax.random.fold_in(rng, level))
+
+        x = prior.decode(zs[level:], start_level=level,
+                         bs_chunks=zs[level].shape[0])
+
+        logdir = f"{hps.name}/level_{level}"
+        os.makedirs(logdir, exist_ok=True)
+        with open(f"{logdir}/data.jkb", "wb") as f:
+            pickle.dump(dict(zs=[np.asarray(z) for z in zs], labels=labels,
+                             sampling_kwargs=sampling_kwargs,
+                             x=np.asarray(x)), f)
+        save_wav(logdir, x, hps.sr)
+        if (alignments is None and priors[-1] is not None
+                and priors[-1].n_tokens > 0
+                and not isinstance(priors[-1].labeller, EmptyLabeller)):
+            alignments = get_alignment(x, zs, labels[-1], priors[-1],
+                                       sampling_kwargs[-1].get("fp16", False), hps)
+        save_html(logdir, x, zs, labels[-1], alignments, hps)
+    return zs
+
+
+def ancestral_sample(labels, sampling_kwargs, priors, hps):
+    sample_levels = list(range(len(priors)))
+    zs = [np.zeros((hps.n_samples, 0), dtype=np.int64) for _ in range(len(priors))]
+    return _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps)
+
+
+def continue_sample(zs, labels, sampling_kwargs, priors, hps):
+    sample_levels = list(range(len(priors)))
+    return _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps)
+
+
+def upsample(zs, labels, sampling_kwargs, priors, hps):
+    sample_levels = list(range(len(priors) - 1))
+    return _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps)
+
+
+def primed_sample(x, labels, sampling_kwargs, priors, hps):
+    sample_levels = list(range(len(priors)))
+    zs = priors[-1].encode(x, start_level=0, end_level=len(priors),
+                           bs_chunks=x.shape[0])
+    zs = [np.asarray(z) for z in zs]
+    return _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps)
+
+
+def load_prompts(audio_files, duration, hps):
+    """Load prompt wavs as [n_samples, T, 1] (sample.py:150-161)."""
+    xs = []
+    for audio_file in audio_files:
+        x = load_audio(audio_file, sr=hps.sr, duration=duration, offset=0.0,
+                       mono=True)
+        xs.append(x.T)
+    while len(xs) < hps.n_samples:
+        xs.extend(xs)
+    xs = xs[: hps.n_samples]
+    return jnp.asarray(np.stack(xs))
+
+
+def load_codes(codes_file, duration, priors, hps):
+    """Load codes from a previous run (sample.py:164-175)."""
+    with open(codes_file, "rb") as f:
+        data = pickle.load(f)
+    zs = [np.asarray(z) for z in data["zs"]]
+    assert zs[-1].shape[0] == hps.n_samples
+    if duration is not None:
+        top_raw_to_tokens = priors[-1].raw_to_tokens
+        assert duration % top_raw_to_tokens == 0
+        zs = [z[:, : duration // prior.raw_to_tokens]
+              for z, prior in zip(zs, priors)]
+    return zs
+
+
+def save_samples(model, device, hps, sample_hps):
+    """Default metas + sampling kwargs + mode dispatch (sample.py:178-266)."""
+    from jukebox_tpu.lyricdict import gpt_2_lyrics, poems
+    print(dict(hps))
+    vqvae, priors = make_model(model, device, hps)
+
+    assert hps.sample_length // priors[-2].raw_to_tokens >= priors[-2].n_ctx, \
+        "Upsampling needs at least one ctx in get_z_conds; choose a longer sample length"
+
+    total_length = hps.total_sample_length_in_seconds * hps.sr
+    offset = 0
+    metas = [
+        dict(artist="Alan Jackson", genre="Country", lyrics=poems["ozymandias"],
+             total_length=total_length, offset=offset),
+        dict(artist="Joe Bonamassa", genre="Blues Rock", lyrics=gpt_2_lyrics["hottub"],
+             total_length=total_length, offset=offset),
+        dict(artist="Frank Sinatra", genre="Classic Pop", lyrics=gpt_2_lyrics["alone"],
+             total_length=total_length, offset=offset),
+        dict(artist="Ella Fitzgerald", genre="Jazz", lyrics=gpt_2_lyrics["count"],
+             total_length=total_length, offset=offset),
+        dict(artist="Céline Dion", genre="Pop", lyrics=gpt_2_lyrics["darkness"],
+             total_length=total_length, offset=offset),
+    ]
+    while len(metas) < hps.n_samples:
+        metas.extend(metas)
+    metas = metas[: hps.n_samples]
+
+    labels = [prior.labeller.get_batch_labels(metas) for prior in priors]
+
+    lower_level_chunk_size = 32
+    lower_level_max_batch_size = 16
+    if model == "1b_lyrics":
+        chunk_size, max_batch_size = 32, 16
+    else:
+        chunk_size, max_batch_size = 16, 3
+    sampling_kwargs = [
+        dict(temp=0.99, fp16=True, chunk_size=lower_level_chunk_size,
+             max_batch_size=lower_level_max_batch_size),
+        dict(temp=0.99, fp16=True, chunk_size=lower_level_chunk_size,
+             max_batch_size=lower_level_max_batch_size),
+        dict(temp=0.99, fp16=True, chunk_size=chunk_size,
+             max_batch_size=max_batch_size),
+    ]
+
+    if sample_hps.mode == "ancestral":
+        ancestral_sample(labels, sampling_kwargs, priors, hps)
+    elif sample_hps.mode in ("continue", "upsample"):
+        assert sample_hps.codes_file is not None
+        top_raw_to_tokens = priors[-1].raw_to_tokens
+        if sample_hps.prompt_length_in_seconds is not None:
+            duration = (int(sample_hps.prompt_length_in_seconds * hps.sr)
+                        // top_raw_to_tokens) * top_raw_to_tokens
+        else:
+            duration = None
+        zs = load_codes(sample_hps.codes_file, duration, priors, hps)
+        if sample_hps.mode == "continue":
+            continue_sample(zs, labels, sampling_kwargs, priors, hps)
+        else:
+            upsample(zs, labels, sampling_kwargs, priors, hps)
+    elif sample_hps.mode == "primed":
+        assert sample_hps.audio_file is not None
+        assert sample_hps.prompt_length_in_seconds is not None
+        audio_files = sample_hps.audio_file.split(",")
+        top_raw_to_tokens = priors[-1].raw_to_tokens
+        duration = (int(sample_hps.prompt_length_in_seconds * hps.sr)
+                    // top_raw_to_tokens) * top_raw_to_tokens
+        x = load_prompts(audio_files, duration, hps)
+        primed_sample(x, labels, sampling_kwargs, priors, hps)
+    else:
+        raise ValueError(f"Unknown sample mode {sample_hps.mode}.")
+
+
+def run(model, mode="ancestral", codes_file=None, audio_file=None,
+        prompt_length_in_seconds=None, port=29500, **kwargs):
+    hps = Hyperparams(**kwargs)
+    sample_hps = Hyperparams(mode=mode, codes_file=codes_file,
+                             audio_file=audio_file,
+                             prompt_length_in_seconds=prompt_length_in_seconds)
+    save_samples(model, None, hps, sample_hps)
+
+
+if __name__ == "__main__":
+    fire(run)

@@ -1,0 +1,326 @@
+"""Training entry point — TPU equivalent of jukebox/train.py.
+
+One jitted SPMD train step per model kind (VQ-VAE or prior): forward, grads,
+global-norm clipping folded into the gradient divisor, the reference's Adam
+update semantics, all under a `jax.sharding` mesh with the batch sharded on
+the data axis. The codebook EMA state threads through the step as an explicit
+pytree; its cross-device reductions are inserted by XLA (replacing DDP +
+manual collectives, reference train.py:203-292).
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jukebox_tpu.hparams import setup_hparams
+from jukebox_tpu.models.make_models import (make_prior, make_vqvae,
+                                            restore_opt, save_model_checkpoint)
+from jukebox_tpu.parallel.dist import make_mesh, replicate, shard_batch
+from jukebox_tpu.utils.audio_utils import audio_preprocess
+from jukebox_tpu.utils.cli import fire
+from jukebox_tpu.utils.logger import init_logging
+from jukebox_tpu.utils.train_utils import (adam_init, adam_update,
+                                           clipped_grad_scale, get_ema,
+                                           global_grad_norm, make_lr_schedule)
+
+
+def _tree_where(ok, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(ok, x, y), a, b)
+
+
+def make_vqvae_train_step(runtime, hps, lr_fn):
+    model = runtime.model
+
+    def step(params, opt_state, vq_state, x, rng, it):
+        def loss_fn(params):
+            _, loss, metrics, new_state = model.forward(
+                params, vq_state, x, hps, loss_fn=hps.loss_fn, train=True, rng=rng)
+            return loss, (metrics, new_state)
+
+        (loss, (metrics, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        gn = global_grad_norm(grads)
+        scale = clipped_grad_scale(gn, hps.clip)
+        lr = lr_fn(it)
+        new_params, new_opt = adam_update(params, grads, opt_state, lr,
+                                          hps.beta1, hps.beta2, hps.eps,
+                                          hps.weight_decay, scale)
+        ok = jnp.isfinite(gn)
+        if hps.ignore_grad_norm > 0:
+            ok = ok & (gn <= hps.ignore_grad_norm)
+        new_params = _tree_where(ok, new_params, params)
+        new_opt = _tree_where(ok, new_opt, opt_state)
+        metrics = dict(metrics, gn=gn, lr=lr)
+        return new_params, new_opt, new_state, loss, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def make_prior_train_step(runtime, hps, lr_fn):
+    prior = runtime.model
+    vq_model = runtime.vqvae.model
+    vq_params = runtime.vqvae.params
+    vq_state = runtime.vqvae.state
+
+    def step(params, opt_state, _, batch, rng, it):
+        x, y = batch
+
+        def loss_fn(params):
+            zs = vq_model.encode(jax.lax.stop_gradient(vq_params), vq_state,
+                                 x, start_level=prior.level)
+            z, z_conds = zs[0], zs[1:]
+            loss, metrics = prior.z_forward(params, z, z_conds=z_conds, y=y,
+                                            fp16=hps.fp16)
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        gn = global_grad_norm(grads)
+        scale = clipped_grad_scale(gn, hps.clip)
+        lr = lr_fn(it)
+        new_params, new_opt = adam_update(params, grads, opt_state, lr,
+                                          hps.beta1, hps.beta2, hps.eps,
+                                          hps.weight_decay, scale)
+        ok = jnp.isfinite(gn)
+        if hps.ignore_grad_norm > 0:
+            ok = ok & (gn <= hps.ignore_grad_norm)
+        new_params = _tree_where(ok, new_params, params)
+        new_opt = _tree_where(ok, new_opt, opt_state)
+        metrics = dict(metrics, gn=gn, lr=lr)
+        return new_params, new_opt, None, loss, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def log_aud(logger, tag, x, hps):
+    logger.add_audios(tag, np.asarray(x), hps.sr, max_len=hps.max_len,
+                      max_log=hps.max_log)
+    logger.flush()
+
+
+def log_labels(logger, labeller, tag, y, hps):
+    y = np.asarray(y)
+    txt = ""
+    for item in range(y.shape[0]):
+        d = labeller.describe_label(y[item])
+        txt += f"{item} artist:{d['artist']}, genre:{d['genre']}, lyrics:{d['lyrics']}\n"
+    logger.add_text(tag, txt)
+    logger.flush()
+
+
+def log_inputs(runtime, logger, x_in, y, x_out, hps, tag="train"):
+    print(f"Logging {tag} inputs/outputs")
+    log_aud(logger, f"{tag}_x_in", x_in, hps)
+    if x_out is not None:
+        log_aud(logger, f"{tag}_x_out", x_out, hps)
+    if hps.prior and hps.labels and y is not None:
+        log_labels(logger, runtime.labeller, f"{tag}_y_in", y, hps)
+    logger.flush()
+
+
+def sample_prior(runtime, ema, logger, x_in, y, hps):
+    """Periodic in-training sampling at temp 1.0 (train.py:118-151)."""
+    params_backup = None
+    if ema is not None:
+        runtime.params, params_backup = ema.swap(runtime.params)
+    try:
+        x_in = x_in[: hps.bs_sample]
+        bs = x_in.shape[0]
+        if not hps.labels:
+            y = None
+        elif y is not None:
+            y = y[: hps.bs_sample]
+        zs = runtime.encode(x_in, start_level=runtime.level, bs_chunks=bs)
+        z_conds = zs[1:] if len(zs) > 1 else None
+        z = runtime.sample(bs, z_conds=z_conds, y=y, fp16=False, temp=1.0)
+        x_sample = runtime.decode([z] + (list(z_conds) if z_conds else []),
+                                  bs_chunks=bs)
+        log_aud(logger, "sample_x_T1", x_sample, hps)
+        if hps.labels and y is not None:
+            log_labels(logger, runtime.labeller, "sample_x_T1", y, hps)
+    finally:
+        if params_backup is not None:
+            runtime.params = params_backup
+    logger.flush()
+
+
+def evaluate(step_fns, runtime, logger, metrics, data_processor, hps, mesh):
+    """Eval epoch (train.py:153-201) — forward only."""
+    if hps.prior:
+        _print_keys = dict(l="loss", bpd="bpd")
+    else:
+        _print_keys = dict(l="loss", rl="recons_loss", sl="spectral_loss")
+    eval_fn = step_fns["eval"]
+    _metrics = {}
+    for i, batch in logger.get_range(data_processor.test_loader):
+        x, y = batch if isinstance(batch, tuple) else (batch, None)
+        x = audio_preprocess(x, hps)
+        loss, _metrics = eval_fn(runtime.params, x, y)
+        _metrics = {k: float(v) for k, v in _metrics.items()}
+        _metrics["loss"] = float(loss)
+        for key, val in _metrics.items():
+            _metrics[key] = metrics.update(f"test_{key}", val, x.shape[0])
+        logger.set_postfix(**{pk: _metrics[k] for pk, k in _print_keys.items()
+                              if k in _metrics})
+    for key in _metrics:
+        logger.add_scalar(f"test_{key}", metrics.avg(f"test_{key}"))
+    logger.close_range()
+    return {key: metrics.avg(f"test_{key}") for key in _metrics}
+
+
+def make_eval_step(runtime, hps):
+    if hps.prior:
+        prior = runtime.model
+        vq_model = runtime.vqvae.model
+        vq_params, vq_state = runtime.vqvae.params, runtime.vqvae.state
+
+        def eval_fn(params, x, y):
+            zs = vq_model.encode(vq_params, vq_state, x, start_level=prior.level)
+            loss, metrics = prior.z_forward(params, zs[0], z_conds=zs[1:], y=y,
+                                            fp16=hps.fp16)
+            return loss, metrics
+    else:
+        model = runtime.model
+
+        def eval_fn(params, x, y):
+            _, loss, metrics, _ = model.forward(params, runtime.state, x, hps,
+                                                loss_fn=hps.loss_fn, train=False)
+            return loss, metrics
+    return jax.jit(eval_fn)
+
+
+def train(step_fns, runtime, opt_state, ema, logger, metrics, data_processor,
+          hps, mesh, rng):
+    if hps.prior:
+        _print_keys = dict(l="loss", bpd="bpd", gn="gn", g_l="gen_loss",
+                           p_l="prime_loss")
+    else:
+        _print_keys = dict(l="loss", sl="spectral_loss", rl="recons_loss",
+                           e="entropy", u="usage", uc="used_curr", gn="gn",
+                           pn="pn", dk="dk")
+    train_step = step_fns["train"]
+
+    for i, batch in logger.get_range(data_processor.train_loader):
+        x, y = batch if isinstance(batch, tuple) else (batch, None)
+        rng, r_aug, r_step = jax.random.split(rng, 3)
+        x_in = x = audio_preprocess(x, hps, rng=r_aug)
+        x = shard_batch(mesh, x)
+        if y is not None:
+            y = shard_batch(mesh, jnp.asarray(np.asarray(y)))
+        log_input_output = (logger.iters % hps.save_iters == 0)
+
+        logger.step()
+        vq_state = runtime.state if not hps.prior else None
+        batch_in = (x, y) if hps.prior else x
+        runtime.params, opt_state, new_state, loss, _metrics = train_step(
+            runtime.params, opt_state, vq_state, batch_in, r_step,
+            jnp.asarray(logger.iters, jnp.int32))
+        if new_state is not None:
+            runtime.state = new_state
+        if ema is not None:
+            ema.step(runtime.params)
+
+        _metrics = {k: float(v) for k, v in _metrics.items()}
+        _metrics["loss"] = float(loss)
+        for key, val in _metrics.items():
+            avg = metrics.update(key, val, int(x.shape[0]))
+            _metrics[key] = avg
+            if logger.iters % hps.log_steps == 0:
+                logger.add_scalar(key, avg)
+
+        # Checkpoint (train.py:266-274)
+        if hps.save and logger.iters % hps.save_iters == 1:
+            params_backup = None
+            if ema is not None:
+                runtime.params, params_backup = ema.swap(runtime.params)
+            name = "latest" if hps.prior else f"step_{logger.iters}"
+            if jax.process_index() == 0:
+                save_model_checkpoint(logger.logdir, name, runtime, opt_state,
+                                      logger.iters, hps)
+            if params_backup is not None:
+                runtime.params = params_backup
+
+        # Periodic sampling (train.py:276-280)
+        if hps.prior and logger.iters % 12000 == 1:
+            sample_prior(runtime, ema, logger, x_in, y, hps)
+
+        if log_input_output:
+            log_inputs(runtime, logger, x_in, y, None, hps)
+
+        logger.set_postfix(**{pk: _metrics[k] for pk, k in _print_keys.items()
+                              if k in _metrics})
+    logger.close_range()
+    return {key: metrics.avg(key) for key in metrics.sum}, opt_state
+
+
+def run(hps="teeny", port=29500, **kwargs):
+    from jukebox_tpu.data.data_processor import DataProcessor
+    from jukebox_tpu.parallel.dist import setup_dist
+
+    rank, world = setup_dist()
+    hps = setup_hparams(hps, kwargs)
+    hps.ngpus = len(jax.devices())
+    hps.argv = " ".join(sys.argv)
+    hps.bs_sample = hps.nworkers = hps.bs
+
+    mesh = make_mesh(hps.mesh_dp, hps.mesh_mp)
+
+    data_processor = DataProcessor(hps)
+
+    vqvae = make_vqvae(hps)
+    if hps.prior:
+        prior = make_prior(hps, vqvae)
+        runtime = prior
+    else:
+        runtime = vqvae
+
+    lr_fn = make_lr_schedule(hps)
+    opt_state = adam_init(runtime.params)
+    restore_path = hps.restore_prior if hps.prior else hps.restore_vqvae
+    opt_state, _ = restore_opt(opt_state, restore_path)
+    ema = get_ema(runtime.params, hps)
+
+    runtime.params = replicate(mesh, runtime.params)
+    if hasattr(runtime, "state"):
+        runtime.state = replicate(mesh, runtime.state)
+    opt_state = replicate(mesh, opt_state)
+
+    if hps.prior:
+        step_fns = {"train": make_prior_train_step(runtime, hps, lr_fn)}
+    else:
+        step_fns = {"train": make_vqvae_train_step(runtime, hps, lr_fn)}
+    step_fns["eval"] = make_eval_step(runtime, hps)
+
+    logger, metrics = init_logging(hps, rank, rank)
+    logger.iters = runtime.step
+
+    rng = jax.random.key(hps.get("seed", 0))
+    for epoch in range(max(0, hps.curr_epoch), hps.epochs):
+        metrics.reset()
+        data_processor.set_epoch(epoch)
+        if hps.train:
+            train_metrics, opt_state = train(step_fns, runtime, opt_state, ema,
+                                             logger, metrics, data_processor,
+                                             hps, mesh,
+                                             jax.random.fold_in(rng, epoch))
+            train_metrics["epoch"] = epoch
+            if rank == 0:
+                print("Train", " ".join(f"{k}: {v:0.4f}"
+                                        for k, v in train_metrics.items()))
+        if hps.test:
+            params_backup = None
+            if ema is not None:
+                runtime.params, params_backup = ema.swap(runtime.params)
+            test_metrics = evaluate(step_fns, runtime, logger, metrics,
+                                    data_processor, hps, mesh)
+            test_metrics["epoch"] = epoch
+            if rank == 0:
+                print("Ema", " ".join(f"{k}: {v:0.4f}"
+                                      for k, v in test_metrics.items()))
+            if params_backup is not None:
+                runtime.params = params_backup
+
+
+if __name__ == "__main__":
+    fire(run)

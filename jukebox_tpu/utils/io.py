@@ -1,0 +1,118 @@
+"""Audio file windowed decode + duration probing (equivalent of
+jukebox/utils/io.py). wav files are decoded with the stdlib `wave` module
+(fast random access via frame seek); other codecs go through PyAV when the
+optional `av` package is present. Durations are cached in `.dur` sidecar
+files like the reference (io.py:6-18)."""
+
+import math
+import os
+import wave
+
+import numpy as np
+
+
+def get_duration_sec(file, cache=False):
+    try:
+        with open(file + ".dur", "r") as f:
+            return float(f.readline().strip("\n"))
+    except FileNotFoundError:
+        duration = _probe_duration(file)
+        if cache:
+            with open(file + ".dur", "w") as f:
+                f.write(str(duration) + "\n")
+        return duration
+
+
+def _probe_duration(file):
+    if file.lower().endswith(".wav"):
+        with wave.open(file, "rb") as w:
+            return w.getnframes() / w.getframerate()
+    import av
+    container = av.open(file)
+    return container.streams.audio[0].duration * float(
+        container.streams.audio[0].time_base)
+
+
+def load_audio(file, sr, offset, duration, resample=True, approx=False,
+               time_base="samples", check_duration=True):
+    """Decode `duration` samples at `offset` (in samples at rate sr).
+    Returns float32 [2, duration] (mono duplicated to stereo, matching the
+    reference loader's channel contract, io.py:20-57)."""
+    if time_base == "sec":
+        offset = offset * sr
+        duration = duration * sr
+    offset, duration = int(offset), int(duration)
+
+    if file.lower().endswith(".wav"):
+        sig, file_sr = _load_wav_window(file, offset, duration, sr)
+    else:
+        sig, file_sr = _load_av_window(file, offset, duration, sr, approx,
+                                       check_duration)
+    if resample and file_sr != sr:
+        from jukebox_tpu.utils.audio_utils import _resample
+        sig = _resample(sig, file_sr, sr)
+        sig = sig[:, :duration]
+    if sig.shape[1] < duration:
+        sig = np.pad(sig, ((0, 0), (0, duration - sig.shape[1])))
+    if sig.shape[0] == 1:
+        sig = np.concatenate([sig, sig], axis=0)
+    return sig[:2], sr
+
+
+def _load_wav_window(file, offset, duration, sr):
+    with wave.open(file, "rb") as w:
+        file_sr = w.getframerate()
+        n_channels = w.getnchannels()
+        width = w.getsampwidth()
+        # offset/duration are in target-sr samples; convert to file frames
+        start = int(offset * file_sr / sr)
+        n = int(math.ceil(duration * file_sr / sr))
+        start = min(start, w.getnframes())
+        n = min(n, w.getnframes() - start)
+        w.setpos(start)
+        raw = w.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"Unsupported sample width {width} in {file}")
+    data = data.reshape(-1, n_channels).T  # [C, T]
+    return data, file_sr
+
+
+def _load_av_window(file, offset, duration, sr, approx, check_duration):
+    import av
+    container = av.open(file)
+    audio = container.streams.audio[0]
+    audio_duration = audio.duration * float(audio.time_base) * sr
+    if approx:
+        if offset + duration > audio_duration:
+            offset = np.min(audio_duration - duration)
+    else:
+        if check_duration:
+            assert offset + duration <= audio_duration, \
+                f"{file}: window [{offset},{offset+duration}] > {audio_duration}"
+    resampler = av.AudioResampler(format="fltp", layout="stereo", rate=sr)
+    offset_pts = int(offset / sr / float(audio.time_base))
+    sig = np.zeros((2, duration), dtype=np.float32)
+    container.seek(offset_pts, stream=audio)
+    total_read = 0
+    for frame in container.decode(audio=0):
+        frame.pts = None
+        resampled = resampler.resample(frame)
+        if not isinstance(resampled, list):
+            resampled = [resampled]
+        for f in resampled:
+            frame_np = f.to_ndarray(format="fltp")
+            read = frame_np.shape[-1]
+            if total_read + read > duration:
+                read = duration - total_read
+            sig[:, total_read:total_read + read] = frame_np[:, :read]
+            total_read += read
+            if total_read == duration:
+                return sig, sr
+    assert total_read <= duration, f"Expected {duration}, got {total_read}"
+    return sig, sr

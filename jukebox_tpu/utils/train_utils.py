@@ -1,0 +1,132 @@
+"""Optimizer, LR schedule, gradient clipping and EMA — TPU equivalents of
+the reference's apex FusedAdam / fp16 utilities (jukebox/utils/fp16.py) and
+EMA variants (jukebox/utils/ema.py).
+
+The Adam update reproduces the exact reference semantics
+(fp16.py:12-29): grads are divided by a combined (loss-scale x clip) factor,
+moments use bias correction, and weight decay enters *inside* the update as
+`m_hat/denom + wd*p` scaled by the step size. On TPU we keep fp32 params and
+moments (bf16 is used for compute activations), so no dynamic loss scaling
+is required — `scale` carries only the clipping factor, exactly like the
+reference's fp32 path.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Adam (reference adam_step, fp16.py:12-29)
+# ---------------------------------------------------------------------------
+
+def adam_init(params):
+    zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, dtype=jnp.float32),
+                                   params)
+    import copy
+    return {"m": zeros, "v": jax.tree_util.tree_map(jnp.copy, zeros),
+            "step": jnp.zeros((), jnp.int32)}
+
+
+def adam_update(params, grads, opt_state, lr, beta1, beta2, eps, weight_decay,
+                scale=1.0):
+    """One Adam step with the reference's update form. `scale` divides the
+    gradients (clipping folded in via clipped_grad_scale)."""
+    step = opt_state["step"] + 1
+    b1 = jnp.asarray(beta1, jnp.float32)
+    b2 = jnp.asarray(beta2, jnp.float32)
+    bias1 = 1.0 - b1 ** step.astype(jnp.float32)
+    bias2 = 1.0 - b2 ** step.astype(jnp.float32)
+    step_size = lr * jnp.sqrt(bias2) / bias1
+
+    def upd(p, g, m, v):
+        g = g.astype(jnp.float32) / scale
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        denom = jnp.sqrt(v) + eps
+        p = p - step_size * (m / denom + weight_decay * p)
+        return p, m, v
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(opt_state["m"])
+    flat_v = treedef.flatten_up_to(opt_state["v"])
+    out = [upd(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+    new_p = treedef.unflatten([o[0] for o in out])
+    new_m = treedef.unflatten([o[1] for o in out])
+    new_v = treedef.unflatten([o[2] for o in out])
+    return new_p, {"m": new_m, "v": new_v, "step": step}
+
+
+def global_grad_norm(grads):
+    """L2 norm over the whole gradient pytree (fp16.py:104-120)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in leaves))
+
+
+def clipped_grad_scale(grad_norm, max_grad_norm, scale=1.0):
+    """Fold clipping into the gradient divisor (fp16.py:122-126)."""
+    clip = grad_norm / max_grad_norm
+    return jnp.where(clip > 1, clip * scale, scale)
+
+
+# ---------------------------------------------------------------------------
+# LR schedule (reference get_lr_scheduler, train.py:62-76)
+# ---------------------------------------------------------------------------
+
+def make_lr_schedule(hps):
+    def lr_lambda(step):
+        step = jnp.asarray(step, jnp.float32)
+        if hps.lr_use_linear_decay:
+            lr_scale = hps.lr_scale * jnp.minimum(1.0, step / hps.lr_warmup)
+            decay = jnp.maximum(
+                0.0, 1.0 - jnp.maximum(0.0, step - hps.lr_start_linear_decay)
+                / hps.lr_decay)
+            return hps.lr * lr_scale * decay
+        return (hps.lr * hps.lr_scale
+                * (hps.lr_gamma ** jnp.floor(step / hps.lr_decay))
+                * jnp.minimum(1.0, step / hps.lr_warmup))
+    return lr_lambda
+
+
+# ---------------------------------------------------------------------------
+# EMA of parameters (reference EMA/CPUEMA/FusedEMA, utils/ema.py)
+# ---------------------------------------------------------------------------
+
+class EMA:
+    """fp32 shadow of the params with swap() for eval/checkpoint
+    (ema.py:6-23). `freq` reproduces CPUEMA's every-N-steps update with
+    mu**freq (ema.py:26-54) — on TPU the shadow just stays in HBM."""
+
+    def __init__(self, params, mu=0.999, freq=1):
+        self.mu = mu ** freq
+        self.freq = freq
+        self.steps = 0
+        # copy=True: the shadow must own its buffers — params are donated by
+        # the train step, and an aliased buffer would be deleted under us.
+        self.shadow = jax.tree_util.tree_map(
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params)
+        self._update = jax.jit(
+            lambda shadow, params: jax.tree_util.tree_map(
+                lambda s, p: self.mu * s + (1.0 - self.mu) * p.astype(jnp.float32),
+                shadow, params))
+
+    def step(self, params):
+        self.steps += 1
+        if self.steps % self.freq == 0:
+            self.shadow = self._update(self.shadow, params)
+
+    def swap(self, params):
+        """Returns (ema_params, stashed_params) — caller swaps back after."""
+        return self.shadow, params
+
+
+def get_ema(params, hps):
+    mu = hps.mu or (1.0 - (hps.bs * hps.get("ngpus", 1) / 8.0) / 1000)
+    if hps.ema and hps.get("train", False):
+        freq = hps.cpu_ema_freq if hps.cpu_ema else 1
+        return EMA(params, mu=mu, freq=freq)
+    return None

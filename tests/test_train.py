@@ -1,0 +1,139 @@
+"""Training-loop component tests: the jitted VQ-VAE and prior train steps
+(loss decreases / state updates / finite grads), the Adam semantics vs a
+torch reference implementation, the LR schedule, EMA, and the wav-backed
+dataset + sharded loader."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jukebox_tpu.hparams import Hyperparams, setup_hparams
+from jukebox_tpu.models.make_models import make_prior, make_vqvae
+from jukebox_tpu.utils.train_utils import (adam_init, adam_update,
+                                           clipped_grad_scale,
+                                           global_grad_norm, make_lr_schedule)
+
+
+def test_adam_matches_reference_semantics():
+    """Our update must equal the reference's pure-python adam_step
+    (fp16.py:12-29), including weight decay inside the update."""
+    import torch
+    rs = np.random.RandomState(0)
+    p0 = rs.randn(5, 3).astype(np.float32)
+    g0 = rs.randn(5, 3).astype(np.float32)
+    lr, b1, b2, eps, wd, scale = 1e-3, 0.9, 0.99, 1e-8, 0.01, 2.0
+
+    # torch-side reference math
+    p = torch.from_numpy(p0.copy())
+    m = torch.zeros_like(p)
+    v = torch.zeros_like(p)
+    for step in (1, 2):
+        g = torch.from_numpy(g0.copy()).float() / scale
+        m.mul_(b1).add_(g, alpha=1 - b1)
+        v.mul_(b2).addcmul_(g, g, value=1 - b2)
+        denom = v.sqrt().add_(eps)
+        step_size = lr * np.sqrt(1 - b2 ** step) / (1 - b1 ** step)
+        p.add_(m / denom + wd * p.float(), alpha=-step_size)
+
+    params = {"w": jnp.asarray(p0)}
+    grads = {"w": jnp.asarray(g0)}
+    opt = adam_init(params)
+    for _ in range(2):
+        params, opt = adam_update(params, grads, opt, lr, b1, b2, eps, wd, scale)
+    np.testing.assert_allclose(np.asarray(params["w"]), p.numpy(), atol=1e-6)
+
+
+def test_clipped_grad_scale():
+    assert float(clipped_grad_scale(jnp.asarray(2.0), 1.0)) == 2.0
+    assert float(clipped_grad_scale(jnp.asarray(0.5), 1.0)) == 1.0
+
+
+def test_lr_schedule():
+    hps = Hyperparams(lr=1.0, lr_warmup=10.0, lr_decay=1e10, lr_gamma=1.0,
+                      lr_scale=1.0, lr_use_linear_decay=False,
+                      lr_start_linear_decay=0)
+    fn = make_lr_schedule(hps)
+    assert abs(float(fn(5)) - 0.5) < 1e-6
+    assert abs(float(fn(100)) - 1.0) < 1e-6
+
+
+def _write_wavs(dirpath, n_files=3, seconds=2, sr=4000):
+    from scipy.io import wavfile
+    os.makedirs(dirpath, exist_ok=True)
+    rs = np.random.RandomState(0)
+    for i in range(n_files):
+        t = np.arange(seconds * sr) / sr
+        sig = 0.5 * np.sin(2 * np.pi * (200 + 100 * i) * t)
+        sig = sig + 0.01 * rs.randn(len(sig))
+        pcm = np.stack([sig, sig], axis=1)
+        wavfile.write(f"{dirpath}/f{i}.wav", sr, (pcm * 32767).astype(np.int16))
+
+
+def test_dataset_and_loader(tmp_path):
+    from jukebox_tpu.data.data_processor import DataProcessor
+    _write_wavs(str(tmp_path), n_files=3, seconds=2, sr=4000)
+    hps = Hyperparams(audio_files_dir=str(tmp_path), sr=4000, channels=2,
+                      sample_length=1024, min_duration=None, max_duration=None,
+                      aug_shift=True, labels=False, bs=2, nworkers=1,
+                      train_test_split=0.8, prior=False, seed=0,
+                      aug_blend=False)
+    dp = DataProcessor(hps)
+    assert "l2" in hps.bandwidth and hps.bandwidth["l2"] > 0
+    batch = next(iter(dp.train_loader))
+    assert batch.shape == (2, 1024, 2)
+    assert batch.dtype == np.float32
+
+
+def test_vqvae_train_step_decreases_loss(tmp_path):
+    from jukebox_tpu.train import make_vqvae_train_step
+    hps = setup_hparams("teeny", dict(
+        sample_length=512, sr=8000, levels=2, downs_t=(2, 1), strides_t=(2, 2),
+        emb_width=16, l_bins=32, l_mu=0.99, commit=0.02, width=8, depth=2,
+        m_conv=1.0, dilation_growth_rate=1, loss_fn="l2", lr=1e-3, train=True))
+    hps.bandwidth = {"l1": 1.0, "l2": 1.0, "spec": 1.0}
+    vqvae = make_vqvae(hps)
+    lr_fn = make_lr_schedule(hps)
+    step = make_vqvae_train_step(vqvae, hps, lr_fn)
+    opt = adam_init(vqvae.params)
+
+    x = jax.random.uniform(jax.random.key(0), (2, 512, 1), minval=-1, maxval=1)
+    losses = []
+    params, state = vqvae.params, vqvae.state
+    for i in range(8):
+        params, opt, state, loss, metrics = step(
+            params, opt, state, x, jax.random.key(i), jnp.asarray(i + 1))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_prior_train_step(tmp_path):
+    from jukebox_tpu.train import make_prior_train_step
+    vq_hps = setup_hparams("teeny", dict(
+        sample_length=512, sr=8000, levels=2, downs_t=(2, 1), strides_t=(2, 2),
+        emb_width=16, l_bins=32, l_mu=0.99, commit=0.02, width=8, depth=2,
+        m_conv=1.0, dilation_growth_rate=1))
+    vqvae = make_vqvae(vq_hps)
+    hps = setup_hparams("teeny", dict(
+        sample_length=256, sr=8000, level=1, levels=2, labels=False,
+        n_ctx=32, prior_width=32, prior_depth=3, heads=2, attn_order=2,
+        blocks=8, init_scale=0.7, min_duration=1.0, max_duration=600.0,
+        lr=1e-3, prior=True, train=True))
+    prior = make_prior(hps, vqvae)
+    lr_fn = make_lr_schedule(hps)
+    step = make_prior_train_step(prior, hps, lr_fn)
+    opt = adam_init(prior.params)
+
+    x = jax.random.uniform(jax.random.key(0), (2, 256, 1), minval=-1, maxval=1)
+    losses = []
+    params = prior.params
+    for i in range(6):
+        params, opt, _, loss, metrics = step(
+            params, opt, None, (x, None), jax.random.key(i), jnp.asarray(i + 1))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert "bpd" in metrics and "gn" in metrics
