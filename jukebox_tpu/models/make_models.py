@@ -348,7 +348,26 @@ def make_prior(hps, vqvae: VQVAERuntime, device=None):
     params = model.init(jax.random.key(hps.get("seed", 0) + hps.level + 1))
     runtime = PriorRuntime(model, params, vqvae)
     restore_model(runtime, hps.restore_prior, "prior")
+    if hps.get("fp16_params", False) and not hps.get("train", False):
+        # the TPU analogue of fp16 weight storage (make_models.py:174-177):
+        # bf16 params halve HBM reads in the bandwidth-bound decode loop
+        runtime.params = convert_params_bf16(runtime.params)
     return runtime
+
+
+def convert_params_bf16(params):
+    """Cast weights to bf16 for sampling, keeping LayerNorm params fp32."""
+    from jax.tree_util import tree_map_with_path
+
+    def cast(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if any(k in ("ln", "ln_0", "ln_1", "prime_state_ln") for k in keys):
+            return leaf
+        if leaf.dtype == jnp.float32:
+            return leaf.astype(jnp.bfloat16)
+        return leaf
+
+    return tree_map_with_path(cast, params)
 
 
 def make_model(model, device, hps, levels=None):
