@@ -370,6 +370,47 @@ def convert_params_bf16(params):
     return tree_map_with_path(cast, params)
 
 
+def save_outputs(model, device, hps):
+    """Golden-output dump for cross-implementation parity checking
+    (reference make_models.py:198-242): seeded random audio + fixed labels
+    through encode/decode and every prior with get_preds=True."""
+    import pickle
+
+    if hps.get("labels_v3", False):
+        n_ctx, n_tokens, prime_bins = 6144, 384, 79
+    else:
+        n_ctx, n_tokens, prime_bins = 8192, 512, 80
+
+    rng = np.random.RandomState(0)
+    x = (2 * rng.rand(1, n_ctx * 8 * 4 * 4, 1) - 1.0).astype(np.float32)
+    lyric_tokens = rng.randint(0, prime_bins, (n_tokens,))
+    artist_id, genre_ids = 10, [1]
+    total_length, offset = 2 * 2646000, 2646000
+
+    vqvae, priors = make_model(model, device, hps)
+    vq_prior = priors[-1]
+    zs = vq_prior.encode(jnp.asarray(x), start_level=0)
+    x_ds = [vq_prior.decode(zs[level:], start_level=level)
+            for level in range(len(zs))]
+    data = dict(zs=[np.asarray(z) for z in zs],
+                x_ds=[np.asarray(d) for d in x_ds])
+    for level, prior in enumerate(priors):
+        if hps.get("labels_v3", False) and level != len(priors) - 1:
+            continue
+        print(f"Doing level {level}")
+        x_in = x[:, : n_ctx * 8 * (4 ** level)]
+        y_in = prior.labeller.get_y_from_ids(artist_id, genre_ids, lyric_tokens,
+                                             total_length, offset)[None]
+        x_out, _, metrics = prior.forward(jnp.asarray(x_in), y=y_in,
+                                          fp16=hps.get("fp16", False),
+                                          get_preds=True, decode=True)
+        data[level] = dict(x=x_in, y=y_in, x_out=np.asarray(x_out),
+                           preds=np.asarray(metrics["preds"]))
+    with open("data.jkb", "wb") as f:
+        pickle.dump(data, f)
+    print("Saved data")
+
+
 def make_model(model, device, hps, levels=None):
     vqvae_name, *prior_names = MODELS[model]
     vqvae = make_vqvae(setup_hparams(
