@@ -25,6 +25,12 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compile cache: the remote-compile tunnel takes minutes per
+    # graph; cached compiles make reruns pay only once
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "8"))
     model = os.environ.get("BENCH_MODEL", "1b_lyrics")
 

@@ -25,6 +25,10 @@ def get_duration_sec(file, cache=False):
 
 def _probe_duration(file):
     if file.lower().endswith(".wav"):
+        from jukebox_tpu.utils import wavio
+        info = wavio.probe(file) if wavio.available() else None
+        if info is not None:
+            return info["n_frames"] / info["sample_rate"]
         with wave.open(file, "rb") as w:
             return w.getnframes() / w.getframerate()
     import av
@@ -60,6 +64,18 @@ def load_audio(file, sr, offset, duration, resample=True, approx=False,
 
 
 def _load_wav_window(file, offset, duration, sr):
+    # native GIL-releasing fast path (csrc/wavio.cpp)
+    from jukebox_tpu.utils import wavio
+    if wavio.available():
+        info = wavio.probe(file)
+        if info is not None:
+            file_sr = info["sample_rate"]
+            start = int(offset * file_sr / sr)
+            n = int(math.ceil(duration * file_sr / sr))
+            data = wavio.read_window(file, start, max(n, 2),
+                                     out_channels=info["channels"])
+            if data is not None:
+                return data, file_sr
     with wave.open(file, "rb") as w:
         file_sr = w.getframerate()
         n_channels = w.getnchannels()

@@ -1,0 +1,52 @@
+"""Native (C++) wav window loader vs scipy ground truth."""
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from jukebox_tpu.utils import wavio
+from jukebox_tpu.utils.io import get_duration_sec, load_audio
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wav") / "test.wav")
+    sr = 8000
+    t = np.arange(sr * 2) / sr
+    sig = np.stack([np.sin(2 * np.pi * 440 * t), np.cos(2 * np.pi * 330 * t)], 1)
+    wavfile.write(path, sr, (sig * 32767).astype(np.int16))
+    return path, sig.astype(np.float32)
+
+
+def test_native_available():
+    assert wavio.available(), "native _wavio.so should build with g++"
+
+
+def test_probe(wav_file):
+    path, sig = wav_file
+    info = wavio.probe(path)
+    assert info == dict(sample_rate=8000, channels=2, bits=16, n_frames=16000)
+
+
+def test_read_window_matches_scipy(wav_file):
+    path, sig = wav_file
+    w = wavio.read_window(path, 100, 256)
+    expect = np.round(sig.T[:, 100:356] * 32767) / 32768
+    np.testing.assert_allclose(w, expect, atol=1e-4)
+
+
+def test_read_past_eof_zero_fills(wav_file):
+    path, _ = wav_file
+    w = wavio.read_window(path, 15900, 256)
+    assert w.shape == (2, 256)
+    assert (w[:, 100:] == 0).all()
+    assert (np.abs(w[:, :100]) > 0).any()
+
+
+def test_io_load_audio_uses_native(wav_file):
+    path, sig = wav_file
+    x, sr = load_audio(path, sr=8000, offset=1000, duration=512)
+    assert x.shape == (2, 512) and sr == 8000
+    expect = np.round(sig.T[:, 1000:1512] * 32767) / 32768
+    np.testing.assert_allclose(x, expect, atol=1e-4)
+    assert abs(get_duration_sec(path) - 2.0) < 1e-6
