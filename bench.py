@@ -49,8 +49,10 @@ def main():
 
     priors = []
     for level, name in enumerate(prior_names):
+        # fp16_params=True: bf16 weight storage is this framework's intended
+        # serving config (halves HBM traffic in the bandwidth-bound decode)
         hps = setup_hparams(name, dict(sample_length=sample_length,
-                                       restore_prior=""))
+                                       restore_prior="", fp16_params=True))
         priors.append(make_prior(hps, vqvae))
 
     sr = vq_hps.sr

@@ -30,6 +30,9 @@ def get_alignment(x, zs, labels, prior, fp16, hps):
     attn_layers = {alignment_layer}
     alignment_hops, indices_hops = {}, {}
 
+    if hasattr(prior, "to_device"):
+        prior.to_device()  # reference: prior.cuda() (align.py:34)
+
     for start in get_starts(total_length, n_ctx, hop_length):
         end = start + n_ctx
         y, indices_hop = prior.get_y(labels, start, get_indices=True)
@@ -50,6 +53,9 @@ def get_alignment(x, zs, labels, prior, fp16, hps):
 
         indices_hops[start] = indices_hop
         alignment_hops[start] = alignment_hop
+
+    if hasattr(prior, "to_host"):
+        prior.to_host()
 
     # stitch hops into the full alignment per item
     alignments = []

@@ -162,7 +162,12 @@ class VQVAERuntime:
 
 class PriorRuntime:
     """Owns SimplePrior params; mirrors the reference SimplePrior public
-    surface used by the sampling/training orchestration (prior.py:27-354)."""
+    surface used by the sampling/training orchestration (prior.py:27-354).
+
+    to_host()/to_device() are the TPU equivalents of the reference's
+    prior.cpu()/prior.cuda() swapping during the cascade (sample.py:94-104):
+    inactive priors' params live in host RAM so only one level's weights
+    occupy HBM at a time."""
 
     def __init__(self, model: SimplePrior, params, vqvae: VQVAERuntime):
         self.model = model
@@ -175,6 +180,12 @@ class PriorRuntime:
                              "chunk_size", "sample_tokens"))
         self._z_forward = jax.jit(
             model.z_forward, static_argnames=("fp16", "get_preds"))
+
+    def to_host(self):
+        self.params = jax.tree_util.tree_map(np.asarray, self.params)
+
+    def to_device(self):
+        self.params = jax.device_put(self.params)
 
     # mirrored attributes
     def __getattr__(self, name):
@@ -352,6 +363,11 @@ def make_prior(hps, vqvae: VQVAERuntime, device=None):
         # the TPU analogue of fp16 weight storage (make_models.py:174-177):
         # bf16 params halve HBM reads in the bandwidth-bound decode loop
         runtime.params = convert_params_bf16(runtime.params)
+    if not hps.get("train", False):
+        # sampling: priors start host-resident; the cascade moves one level
+        # at a time onto the chip (reference builds priors on CPU,
+        # make_models.py:195)
+        runtime.to_host()
     return runtime
 
 

@@ -209,6 +209,30 @@ class Transformer:
 
     # -- incremental decoding -------------------------------------------------
 
+    @property
+    def stacked_cycle(self):
+        """Cycle length when the depth can be folded into a lax.scan over
+        stacked per-cycle-position parameters (identical param structure and
+        cache shape per position). Shrinks the decode HLO by n_depth/cycle —
+        a 72-layer attn_order-2 prior becomes a 3-layer body scanned 24x."""
+        cycle = ATTN_CYCLES[self.attn_order]
+        if self.n_depth % cycle or self.n_depth == cycle:
+            return None
+        funcs = {self.attn_func(d) for d in range(self.n_depth)}
+        if not funcs <= {1, 2, 3}:  # ring-cache patterns only
+            return None
+        return cycle
+
+    def _stack_cycle(self, trees):
+        """[per-layer trees] -> list of `cycle` trees with a leading
+        n_groups axis."""
+        c = self.stacked_cycle
+        n_groups = self.n_depth // c
+        return [jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs),
+                    *[trees[g * c + j] for g in range(n_groups)])
+                for j in range(c)]
+
     def init_cache(self, params, bs, dtype, encoder_kv=None, sample_ctx=None):
         caches = []
         for d in range(self.n_depth):
@@ -216,19 +240,42 @@ class Transformer:
             enc = encoder_kv if cfg.attn_func == 6 else None
             caches.append(cfg.attn.init_cache(params["blocks"][d]["attn"], bs, dtype,
                                               encoder_kv=enc, sample_ctx=sample_ctx))
+        if self.stacked_cycle:
+            return self._stack_cycle(caches)
         return caches
+
+    def _stacked_apply(self, method, params, caches, x, *args):
+        c = self.stacked_cycle
+        stacked_params = self._stack_cycle(params["blocks"])
+
+        def body(x, inp):
+            group_params, group_caches = inp
+            new_caches = []
+            for j in range(c):
+                x, nc = getattr(self.block_cfg(j), method)(
+                    group_params[j], group_caches[j], x, *args)
+                new_caches.append(nc)
+            return x, tuple(new_caches)
+
+        x, new_caches = jax.lax.scan(body, x, (tuple(stacked_params),
+                                               tuple(caches)))
+        return x, list(new_caches)
 
     def decode_step(self, params, caches, x, t, encoder_kv=None, fp16=False,
                     fp16_out=False):
         if fp16:
             x = x.astype(jnp.bfloat16)
-        new_caches = []
-        for d in range(self.n_depth):
-            cfg = self.block_cfg(d)
-            enc = encoder_kv if cfg.attn_func == 6 else None
-            x, c = cfg.decode_step(params["blocks"][d], caches[d], x, t,
-                                   encoder_kv=enc)
-            new_caches.append(c)
+        if self.stacked_cycle:
+            x, new_caches = self._stacked_apply("decode_step", params, caches,
+                                                x, t)
+        else:
+            new_caches = []
+            for d in range(self.n_depth):
+                cfg = self.block_cfg(d)
+                enc = encoder_kv if cfg.attn_func == 6 else None
+                x, c = cfg.decode_step(params["blocks"][d], caches[d], x, t,
+                                       encoder_kv=enc)
+                new_caches.append(c)
         if not fp16_out:
             x = x.astype(jnp.float32)
         return x, new_caches
@@ -237,13 +284,17 @@ class Transformer:
                       fp16=False, fp16_out=False):
         if fp16:
             x = x.astype(jnp.bfloat16)
-        new_caches = []
-        for d in range(self.n_depth):
-            cfg = self.block_cfg(d)
-            enc = encoder_kv if cfg.attn_func == 6 else None
-            x, c = cfg.prefill_chunk(params["blocks"][d], caches[d], x, t0,
-                                     n_blocks, encoder_kv=enc)
-            new_caches.append(c)
+        if self.stacked_cycle:
+            x, new_caches = self._stacked_apply("prefill_chunk", params, caches,
+                                                x, t0, n_blocks)
+        else:
+            new_caches = []
+            for d in range(self.n_depth):
+                cfg = self.block_cfg(d)
+                enc = encoder_kv if cfg.attn_func == 6 else None
+                x, c = cfg.prefill_chunk(params["blocks"][d], caches[d], x, t0,
+                                         n_blocks, encoder_kv=enc)
+                new_caches.append(c)
         if not fp16_out:
             x = x.astype(jnp.float32)
         return x, new_caches

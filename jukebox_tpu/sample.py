@@ -107,6 +107,8 @@ def _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps, rng=None):
     alignments = None
     for level in reversed(sample_levels):
         prior = priors[level]
+        if hasattr(prior, "to_device"):
+            prior.to_device()  # one level's weights in HBM at a time
         assert hps.sample_length % prior.raw_to_tokens == 0, \
             f"sample_length {hps.sample_length} not a multiple of {prior.raw_to_tokens}"
         total_length = hps.sample_length // prior.raw_to_tokens
@@ -117,6 +119,8 @@ def _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps, rng=None):
 
         x = prior.decode(zs[level:], start_level=level,
                          bs_chunks=zs[level].shape[0])
+        if hasattr(prior, "to_host"):
+            prior.to_host()
 
         logdir = f"{hps.name}/level_{level}"
         os.makedirs(logdir, exist_ok=True)

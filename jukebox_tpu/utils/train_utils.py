@@ -74,6 +74,46 @@ def clipped_grad_scale(grad_norm, max_grad_norm, scale=1.0):
 
 
 # ---------------------------------------------------------------------------
+# Dynamic loss scaling (reference LossScalar, fp16.py:68-99). On TPU the
+# default numerics are bf16-compute/fp32-grads, which need no loss scaling —
+# this exists for numerics-parity experiments with true fp16 training.
+# ---------------------------------------------------------------------------
+
+class LossScalar:
+    def __init__(self, loss_scale, init_scale=2.0 ** 16,
+                 scale_factor=2.0 ** (1.0 / 1000), scale_window=1):
+        if loss_scale is None:
+            self.dynamic = True
+            self.loss_scale = init_scale
+        else:
+            self.dynamic = False
+            self.loss_scale = loss_scale
+        self.max_loss_scale = 2.0 ** 24
+        self.scale_factor = scale_factor
+        self.scale_window = scale_window
+        self.unskipped = 0
+        self.overflow = False
+
+    def get_scale(self):
+        return self.loss_scale
+
+    def update_scale(self, overflow):
+        if overflow and self.dynamic:
+            self.loss_scale /= 2.0
+            self.unskipped = 0
+        else:
+            self.unskipped += 1
+        if self.unskipped == self.scale_window and self.dynamic:
+            self.loss_scale = min(self.max_loss_scale,
+                                  self.loss_scale * self.scale_factor)
+            self.unskipped = 0
+
+
+def check_overflow(val):
+    return (val == float("inf")) or (val == -float("inf")) or (val != val)
+
+
+# ---------------------------------------------------------------------------
 # LR schedule (reference get_lr_scheduler, train.py:62-76)
 # ---------------------------------------------------------------------------
 
