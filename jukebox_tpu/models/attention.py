@@ -238,6 +238,12 @@ class FactoredAttention:
             return None  # stored as [bc, blocks]
         if f == 3:
             return 2 * self.block_ctx
+        if f == 4:
+            return self.blocks + 1  # zero pad + one summary per block
+        if f == 5:
+            raise NotImplementedError(
+                "summary-spread sampling is not implemented (matches the "
+                "reference, factored_attention.py:211)")
         if f == 6:
             return self.encoder_dims
         if f == 7:
@@ -279,6 +285,13 @@ class FactoredAttention:
             start = ring * bc + c
             return {"k": lax.dynamic_update_slice(cache["k"], k, (0, start, 0)),
                     "v": lax.dynamic_update_slice(cache["v"], v, (0, start, 0))}
+        if f == 4:
+            # only block-final tokens become summaries; slot 0 stays the
+            # zero pad (summary_attn sample path, factored_attention.py:198-201)
+            is_last = (t % bc) == (bc - 1)
+            idx = jnp.where(is_last, 1 + t // bc, self.blocks + 2)
+            return {"k": cache["k"].at[:, idx].set(k[:, 0], mode="drop"),
+                    "v": cache["v"].at[:, idx].set(v[:, 0], mode="drop")}
         if f == 6:
             return cache
         if f == 7:
@@ -323,6 +336,14 @@ class FactoredAttention:
             # first block: ring slot 1 is still zeros -> uniform attn over
             # zero values = 0, same as the reference's zero K/V (:179-181)
             a, _ = dense_attn(q, kr, vr, self.n_head, None)
+        elif f == 4:
+            # attend the zero pad + summaries of completed blocks; the final
+            # block's summary is never attendable (reference strides stop at
+            # blocks*bc-1, factored_attention.py:199)
+            slots = jnp.arange(self.blocks + 1)[None, :]
+            hi = jnp.minimum((t + 1) // bc, self.blocks - 1)
+            mask = (slots <= hi).astype(jnp.float32)
+            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
         elif f == 6:
             a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, None)
         elif f == 7:
@@ -411,6 +432,21 @@ class FactoredAttention:
                                                        (0, other * bc, 0)),
                          "v": lax.dynamic_update_slice(cache["v"], vb[:, -2],
                                                        (0, other * bc, 0))}
+        elif f == 4:
+            assert C == n_blocks * bc
+            b0 = t0 // bc
+            # write each chunk block's final position as its summary
+            kb = k.reshape(B, n_blocks, bc, S)[:, :, -1]  # [B, nb, S]
+            vb = v.reshape(B, n_blocks, bc, S)[:, :, -1]
+            cache = {"k": lax.dynamic_update_slice(cache["k"], kb, (0, 1 + b0, 0)),
+                     "v": lax.dynamic_update_slice(cache["v"], vb, (0, 1 + b0, 0))}
+            # query at (local block j, col c) attends pad + summaries of
+            # blocks < b0+j, plus its own summary at the block-final position
+            pos = t0 + jnp.arange(C)
+            hi = jnp.minimum((pos + 1) // bc, self.blocks - 1)
+            mask = (jnp.arange(self.blocks + 1)[None, :]
+                    <= hi[:, None]).astype(jnp.float32)
+            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
         elif f == 6:
             a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, None)
         elif f == 7:

@@ -70,7 +70,7 @@ def test_mask_gradient_property(attn_func):
     np.testing.assert_array_equal(pos_grad, exp)
 
 
-@pytest.mark.parametrize("attn_func", [0, 1, 2, 3, 6, 7])
+@pytest.mark.parametrize("attn_func", [0, 1, 2, 3, 4, 6, 7])
 def test_decode_matches_full_forward(attn_func):
     """Token-by-token cached decode equals the parallel forward
     (reference check_sample tolerance 1e-8 in fp64; we run fp32)."""
@@ -88,7 +88,7 @@ def test_decode_matches_full_forward(attn_func):
     np.testing.assert_allclose(np.asarray(y_dec), np.asarray(y_full), atol=2e-5)
 
 
-@pytest.mark.parametrize("attn_func", [0, 1, 2, 3, 6, 7])
+@pytest.mark.parametrize("attn_func", [0, 1, 2, 3, 4, 6, 7])
 @pytest.mark.parametrize("n_chunk_blocks", [1, 2])
 def test_prefill_matches_full_forward(attn_func, n_chunk_blocks):
     """Block-aligned chunked prefill + single-token tail equals the parallel
