@@ -1,0 +1,48 @@
+"""Parameter partition specs for tensor parallelism over the 'mp' mesh axis.
+
+The reference has no tensor parallelism (its 5B was trained with GPipe,
+removed from the release — SURVEY §2.3); on TPU the idiomatic equivalent is
+Megatron-style sharding expressed as PartitionSpecs: attention/MLP input
+projections split over their output features, output projections over their
+input features. With params placed under these NamedShardings, pjit inserts
+the all-reduces on ICI automatically.
+"""
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.tree_util import tree_map_with_path
+
+
+# param-path fragments whose weights split over the feature axis
+_COL_SPLIT = ("c_attn", "c_fc", "c_enc_kv")   # w: (in, out) -> P(None, 'mp')
+_ROW_SPLIT = ("c_proj",)                      # w: (in, out) -> P('mp', None)
+
+
+def _path_keys(path):
+    return [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+
+
+def prior_param_specs(params):
+    """PartitionSpec pytree for a prior's params: transformer matmuls split
+    over 'mp', everything else replicated."""
+
+    def spec(path, leaf):
+        keys = _path_keys(path)
+        if any(k in _COL_SPLIT for k in keys):
+            if keys[-1] == "w":
+                return P(None, "mp")
+            if keys[-1] == "b":
+                return P("mp")
+        if any(k in _ROW_SPLIT for k in keys):
+            if keys[-1] == "w":
+                return P("mp", None)
+            return P()  # c_proj bias added after the all-reduce
+        return P()
+
+    return tree_map_with_path(spec, params)
+
+
+def shard_params(mesh, params, specs=None):
+    specs = specs if specs is not None else prior_param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
