@@ -30,9 +30,20 @@ def main():
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # expose the host CPU backend alongside the TPU so billion-param priors
+    # can be initialised host-side and staged per level
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
 
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "8"))
     model = os.environ.get("BENCH_MODEL", "1b_lyrics")
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+    if dev.platform == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
+        raise RuntimeError("bench must run on TPU (set BENCH_ALLOW_CPU=1 to override)")
 
     from jukebox_tpu.hparams import Hyperparams, setup_hparams
     from jukebox_tpu.lyricdict import poems

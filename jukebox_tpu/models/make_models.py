@@ -356,7 +356,22 @@ def make_prior(hps, vqvae: VQVAERuntime, device=None):
     model.alignment_head = hps.get("alignment_head", None)
     model.alignment_layer = hps.get("alignment_layer", None)
 
-    params = model.init(jax.random.key(hps.get("seed", 0) + hps.level + 1))
+    seed_key = jax.random.key(hps.get("seed", 0) + hps.level + 1)
+    if hps.get("train", False):
+        params = model.init(seed_key)
+    else:
+        # sampling: init on host CPU when available (reference builds priors
+        # on CPU, make_models.py:195); avoids a device init + offload
+        # round-trip for billion-param models on a tunneled chip
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                params = model.init(seed_key)
+        else:
+            params = model.init(seed_key)
     runtime = PriorRuntime(model, params, vqvae)
     restore_model(runtime, hps.restore_prior, "prior")
     if hps.get("fp16_params", False) and not hps.get("train", False):
