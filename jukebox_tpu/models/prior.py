@@ -32,7 +32,14 @@ class SimplePrior:
                  prior_kwargs, x_cond_kwargs, y_cond_kwargs, prime_kwargs,
                  copy_input=False, labels_v3=False, merged_decoder=False,
                  single_enc_dec=False):
-        prime_kwargs = dict(prime_kwargs)
+        def _strip_dropout(kw):
+            for key in ("attn_dropout", "resid_dropout", "emb_dropout"):
+                assert kw.pop(key, 0.0) == 0.0, \
+                    "dropout is not implemented (all released configs use 0.0)"
+            return kw
+
+        prime_kwargs = _strip_dropout(dict(prime_kwargs))
+        prior_kwargs = _strip_dropout(dict(prior_kwargs))
         self.use_tokens = prime_kwargs.pop("use_tokens")
         self.n_tokens = prime_kwargs.pop("n_tokens")
         self.prime_loss_fraction = prime_kwargs.pop("prime_loss_fraction")

@@ -39,6 +39,33 @@ def _setup_reference():
         return torch.view_as_real(out)
 
     torch.stft = _compat_stft
+    # dist_adapter treats "torch.distributed importable" as "initialised"
+    # (true on torch 1.4 + MPI launch); force the single-process no-op path
+    import jukebox.utils.dist_adapter as dist_adapter
+    dist_adapter.is_available = lambda: False
+
+    # the reference hardcodes device='cuda' in a few creation calls
+    # (prior.py:183,309, conditioners.py:103); map them to cpu
+    def _cpu_dev(fn):
+        def wrapped(*args, **kw):
+            if str(kw.get("device", "")).startswith("cuda"):
+                kw["device"] = "cpu"
+            return fn(*args, **kw)
+        return wrapped
+
+    for name in ("tensor", "zeros", "ones", "arange", "randn", "empty"):
+        setattr(torch, name, _cpu_dev(getattr(torch, name)))
+
+    # torch>=2 rejects .view on some non-contiguous slices the reference uses
+    _orig_view = torch.Tensor.view
+
+    def _view(self, *shape):
+        try:
+            return _orig_view(self, *shape)
+        except RuntimeError:
+            return self.reshape(*shape)
+
+    torch.Tensor.view = _view
 
 
 _setup_reference()
@@ -247,3 +274,115 @@ def test_vqvae_forward_parity():
         ref_dec = ref.decode([ref_zs[0]], start_level=0, end_level=1).numpy()
     our_dec = ours.decode(params, state, [our_zs[0]], start_level=0, end_level=1)
     np.testing.assert_allclose(np.asarray(our_dec), ref_dec, atol=5e-5)
+
+
+# --- SimplePrior (full per-level wrapper) ------------------------------------
+
+def _mk_ref_prior(level, levels, n_ctx, l_bins, width, use_tokens=False,
+                  single_enc_dec=False, copy_input=False, attn_order=2,
+                  labels=False):
+    from jukebox.prior.prior import SimplePrior as RefPrior
+    torch.manual_seed(0)
+    downs, strides = (2, 1), (2, 2)
+    # z_shapes scaled so this level gets n_ctx codes
+    ds = [s ** d for s, d in zip(strides, downs)]
+    import numpy as _np
+    hops = _np.cumprod(ds)
+    base = [int(64 // h) for h in hops]
+    rescale = lambda z: (z * n_ctx // base[level],)
+    z_shapes = [rescale(b) for b in base]
+
+    prior_kwargs = dict(input_shape=(n_ctx,), bins=l_bins, width=width,
+                        depth=2, heads=2, attn_order=attn_order, blocks=8,
+                        spread=None, attn_dropout=0.0, resid_dropout=0.0,
+                        emb_dropout=0.0, zero_out=False, res_scale=False,
+                        pos_init=False, init_scale=0.7, m_attn=0.25, m_mlp=1.0)
+    x_cond_kwargs = dict(out_width=width, init_scale=0.7, width=16, depth=1,
+                         m_conv=1.0, dilation_growth_rate=1, dilation_cycle=None,
+                         zero_out=False, res_scale=False, checkpoint_res=0)
+    y_cond_kwargs = dict(out_width=width, init_scale=0.7, y_bins=(10, 100),
+                         t_bins=16, sr=8000, min_duration=1.0,
+                         max_duration=600.0, max_bow_genre_size=1)
+    if use_tokens and not single_enc_dec:
+        prime_kwargs = dict(use_tokens=True, prime_loss_fraction=0.4,
+                            n_tokens=8, bins=l_bins if copy_input else 79,
+                            width=16, depth=2, heads=2, attn_order=2, blocks=4,
+                            spread=None, attn_dropout=0.0, resid_dropout=0.0,
+                            emb_dropout=0.0, zero_out=False, res_scale=False,
+                            pos_init=False, init_scale=0.7, m_attn=0.25,
+                            m_mlp=1.0)
+    else:
+        prime_kwargs = dict(use_tokens=use_tokens, prime_loss_fraction=0.4,
+                            n_tokens=8 if use_tokens else 0,
+                            bins=l_bins if copy_input else 79)
+
+    ref = RefPrior(z_shapes=z_shapes, l_bins=l_bins, encoder=None, decoder=None,
+                   level=level, downs_t=downs, strides_t=strides, labels=labels,
+                   prior_kwargs=dict(prior_kwargs),
+                   x_cond_kwargs=dict(x_cond_kwargs),
+                   y_cond_kwargs=dict(y_cond_kwargs),
+                   prime_kwargs=dict(prime_kwargs), copy_input=copy_input,
+                   labels_v3=False, merged_decoder=False,
+                   single_enc_dec=single_enc_dec)
+    ref.eval()
+
+    from jukebox_tpu.models.prior import SimplePrior
+    ours = SimplePrior(z_shapes=z_shapes, l_bins=l_bins, level=level,
+                       downs_t=downs, strides_t=strides, labels=labels,
+                       prior_kwargs=dict(prior_kwargs),
+                       x_cond_kwargs=dict(x_cond_kwargs),
+                       y_cond_kwargs=dict(y_cond_kwargs),
+                       prime_kwargs=dict(prime_kwargs), copy_input=copy_input,
+                       labels_v3=False, merged_decoder=False,
+                       single_enc_dec=single_enc_dec)
+    return ref, ours
+
+
+@pytest.mark.parametrize("case", ["upsampler", "sep_enc_dec", "single_enc_dec"])
+def test_simple_prior_z_forward_parity(case):
+    from jukebox_tpu.utils.torch_convert import convert_prior_state_dict
+
+    l_bins, width, n_ctx = 16, 32, 32
+    if case == "upsampler":
+        ref, ours = _mk_ref_prior(level=0, levels=2, n_ctx=n_ctx, l_bins=l_bins,
+                                  width=width)
+    elif case == "sep_enc_dec":
+        ref, ours = _mk_ref_prior(level=1, levels=2, n_ctx=n_ctx, l_bins=l_bins,
+                                  width=width, use_tokens=True, copy_input=True,
+                                  attn_order=6)
+    else:
+        ref, ours = _mk_ref_prior(level=1, levels=2, n_ctx=n_ctx, l_bins=l_bins,
+                                  width=width, use_tokens=True,
+                                  single_enc_dec=True, attn_order=12,
+                                  labels=True)
+
+    params = convert_prior_state_dict(sd_of(ref), ours)
+
+    rs = np.random.RandomState(1)
+    z = rs.randint(0, l_bins, (2, n_ctx)).astype(np.int64)
+    y = None
+    if case == "single_enc_dec":
+        # [total_length, offset, sample_length, artist, genre, *lyric_tokens]
+        lyric = rs.randint(0, 79, (2, 8)).astype(np.int64)
+        y = np.concatenate([
+            np.tile(np.array([[100 * 8000, 0, ours.sample_length, 5, 2]],
+                             dtype=np.int64), (2, 1)), lyric], axis=1)
+    if case == "upsampler":
+        z_cond = rs.randint(0, l_bins, (2, n_ctx // 2)).astype(np.int64)
+        ref_zc = [torch.from_numpy(z_cond)]
+        our_zc = [jnp.asarray(z_cond)]
+    else:
+        ref_zc, our_zc = [], []
+
+    with torch.no_grad():
+        ref_loss, ref_metrics = ref.z_forward(
+            torch.from_numpy(z), ref_zc,
+            torch.from_numpy(y) if y is not None else None, get_preds=True)
+    our_loss, our_metrics = ours.z_forward(
+        params, jnp.asarray(z), our_zc,
+        jnp.asarray(y) if y is not None else None, get_preds=True)
+    np.testing.assert_allclose(float(our_loss), float(ref_loss), atol=5e-5)
+    np.testing.assert_allclose(float(our_metrics["prime_loss"]),
+                               float(ref_metrics["prime_loss"]), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(our_metrics["preds"]),
+                               ref_metrics["preds"].numpy(), atol=1e-4)
