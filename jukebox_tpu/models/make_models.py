@@ -16,6 +16,17 @@ from jukebox_tpu.models.prior import SimplePrior
 from jukebox_tpu.models.vqvae import VQVAE, calculate_strides
 from jukebox_tpu.utils.checkpoints import load_checkpoint, save_checkpoint
 
+import contextlib
+
+
+def _host_device():
+    """Context running eager ops on the host CPU backend when it exists."""
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+
 MODELS = {
     "5b": ("vqvae", "upsampler_level_0", "upsampler_level_1", "prior_5b"),
     "5b_lyrics": ("vqvae", "upsampler_level_0", "upsampler_level_1", "prior_5b_lyrics"),
@@ -274,9 +285,12 @@ def make_vqvae(hps, device=None):
                   multipliers=tuple(hps.hvqvae_multipliers) if hps.hvqvae_multipliers else None,
                   use_bottleneck=hps.use_bottleneck, block=block)
 
-    params = model.init(jax.random.key(hps.get("seed", 0)))
-    state = model.init_state()
-    runtime = VQVAERuntime(model, params, state)
+    # init on host CPU (hundreds of small ops; on a remote-tunnel device each
+    # eager op costs a network round-trip), then one bulk device_put
+    with _host_device():
+        params = model.init(jax.random.key(hps.get("seed", 0)))
+        state = model.init_state()
+    runtime = VQVAERuntime(model, jax.device_put(params), jax.device_put(state))
     restore_model(runtime, hps.restore_vqvae, "vqvae")
 
     if hps.get("train", False) and not hps.get("prior", False):
@@ -357,21 +371,12 @@ def make_prior(hps, vqvae: VQVAERuntime, device=None):
     model.alignment_layer = hps.get("alignment_layer", None)
 
     seed_key = jax.random.key(hps.get("seed", 0) + hps.level + 1)
-    if hps.get("train", False):
+    # init on host CPU (reference builds priors on CPU, make_models.py:195);
+    # billion-param init as eager ops on a tunneled device takes minutes
+    with _host_device():
         params = model.init(seed_key)
-    else:
-        # sampling: init on host CPU when available (reference builds priors
-        # on CPU, make_models.py:195); avoids a device init + offload
-        # round-trip for billion-param models on a tunneled chip
-        try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None:
-            with jax.default_device(cpu):
-                params = model.init(seed_key)
-        else:
-            params = model.init(seed_key)
+    if hps.get("train", False):
+        params = jax.device_put(params)
     runtime = PriorRuntime(model, params, vqvae)
     restore_model(runtime, hps.restore_prior, "prior")
     if hps.get("fp16_params", False) and not hps.get("train", False):
