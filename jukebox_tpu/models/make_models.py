@@ -191,6 +191,7 @@ class PriorRuntime:
                              "chunk_size", "sample_tokens"))
         self._z_forward = jax.jit(
             model.z_forward, static_argnames=("fp16", "get_preds"))
+        self._z_forward_attn = {}  # jitted attn-recording fwd per layer-set
 
     def to_host(self):
         self.params = jax.tree_util.tree_map(np.asarray, self.params)
@@ -239,10 +240,16 @@ class PriorRuntime:
     def z_forward(self, z, z_conds=(), y=None, fp16=False, get_preds=False,
                   get_attn_weights=False):
         if get_attn_weights:
-            # attention recording is not jitted (returns a python list)
-            return self.model.z_forward(self.params, z, z_conds=z_conds, y=y,
-                                        fp16=fp16, get_preds=get_preds,
-                                        get_attn_weights=get_attn_weights)
+            layers = frozenset(get_attn_weights)
+            key = (layers, fp16)
+            if key not in self._z_forward_attn:
+                self._z_forward_attn[key] = jax.jit(
+                    lambda params, z, z_conds, y: self.model.z_forward(
+                        params, z, z_conds=z_conds, y=y, fp16=fp16,
+                        get_attn_weights=layers))
+            if y is not None:
+                y = jnp.asarray(np.asarray(y))
+            return self._z_forward_attn[key](self.params, z, list(z_conds), y)
         if y is not None:
             y = jnp.asarray(np.asarray(y))
         return self._z_forward(self.params, z, z_conds, y, fp16=fp16,

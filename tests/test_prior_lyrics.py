@@ -124,3 +124,19 @@ def test_range_embedding_binning():
     # positions 0,4,8,12 -> normalised 0,.25,.5,.75 -> bins 0,2,4,6
     w = np.asarray(params["emb"]["weight"])
     np.testing.assert_allclose(np.asarray(out[0]), w[[0, 2, 4, 6]], atol=1e-6)
+
+
+@pytest.mark.parametrize("single", [True])
+def test_attention_recording_for_alignment(vqvae, single):
+    """get_attn_weights returns (jitted) lyric-attention maps with shape
+    [bs, n_ctx_music, n_tokens] after func-7 slicing (align.py:49-55)."""
+    hps = setup_hparams("teeny", _base(single))
+    hps["prior_depth"] = 16  # ensure a func-7 layer exists (d%16==15)
+    prior = make_prior(hps, vqvae)
+    labels = _labels(prior)
+    y = prior.get_y(labels, 0)
+    z = jax.random.randint(jax.random.key(0), (2, N_CTX), 0, 32)
+    ws = prior.z_forward(jnp.asarray(z), [], y, get_attn_weights={15})
+    assert len(ws) == 1
+    # [bs, heads, music positions, lyric positions]
+    assert ws[0].shape[0] == 2 and ws[0].shape[-1] == N_TOKENS
