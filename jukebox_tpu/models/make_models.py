@@ -389,7 +389,8 @@ def make_prior(hps, vqvae: VQVAERuntime, device=None):
     if hps.get("fp16_params", False) and not hps.get("train", False):
         # the TPU analogue of fp16 weight storage (make_models.py:174-177):
         # bf16 params halve HBM reads in the bandwidth-bound decode loop
-        runtime.params = convert_params_bf16(runtime.params)
+        with _host_device():
+            runtime.params = convert_params_bf16(runtime.params)
     if not hps.get("train", False):
         # sampling: priors start host-resident; the cascade moves one level
         # at a time onto the chip (reference builds priors on CPU,
@@ -454,6 +455,13 @@ def save_outputs(model, device, hps):
     print("Saved data")
 
 
+def run(model, port=29500, **kwargs):
+    """CLI: dump golden outputs for parity checking
+    (reference make_models.py:245-254)."""
+    hps = Hyperparams(**kwargs)
+    save_outputs(model, None, hps)
+
+
 def make_model(model, device, hps, levels=None):
     vqvae_name, *prior_names = MODELS[model]
     vqvae = make_vqvae(setup_hparams(
@@ -466,3 +474,8 @@ def make_model(model, device, hps, levels=None):
     priors = [make_prior(setup_hparams(prior_names[level], dict()), vqvae, device)
               for level in levels]
     return vqvae, priors
+
+
+if __name__ == "__main__":
+    from jukebox_tpu.utils.cli import fire
+    fire(run)

@@ -281,10 +281,20 @@ def run(hps="teeny", port=29500, **kwargs):
     opt_state, _ = restore_opt(opt_state, restore_path)
     ema = get_ema(runtime.params, hps)
 
-    runtime.params = replicate(mesh, runtime.params)
+    if hps.mesh_mp > 1 and hps.prior:
+        # tensor-parallel param/optimizer placement over the 'mp' axis
+        from jukebox_tpu.parallel.shardings import (prior_param_specs,
+                                                    shard_params)
+        specs = prior_param_specs(runtime.params)
+        runtime.params = shard_params(mesh, runtime.params, specs)
+        opt_state = {"m": shard_params(mesh, opt_state["m"], specs),
+                     "v": shard_params(mesh, opt_state["v"], specs),
+                     "step": replicate(mesh, opt_state["step"])}
+    else:
+        runtime.params = replicate(mesh, runtime.params)
+        opt_state = replicate(mesh, opt_state)
     if hasattr(runtime, "state"):
         runtime.state = replicate(mesh, runtime.state)
-    opt_state = replicate(mesh, opt_state)
 
     if hps.prior:
         step_fns = {"train": make_prior_train_step(runtime, hps, lr_fn)}

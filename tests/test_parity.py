@@ -33,9 +33,11 @@ def _setup_reference():
     _orig_stft = torch.stft
 
     def _compat_stft(x, n_fft, hop_length=None, win_length=None, window=None, **kw):
-        kw.setdefault("return_complex", True)
+        if "return_complex" in kw:  # modern caller: pass through untouched
+            return _orig_stft(x, n_fft, hop_length=hop_length,
+                              win_length=win_length, window=window, **kw)
         out = _orig_stft(x, n_fft, hop_length=hop_length, win_length=win_length,
-                         window=window, **kw)
+                         window=window, return_complex=True, **kw)
         return torch.view_as_real(out)
 
     torch.stft = _compat_stft
