@@ -21,6 +21,7 @@ struct WavInfo {
   int32_t sample_rate;
   int32_t channels;
   int32_t bits;
+  int32_t format;  // 1 = integer PCM, 3 = IEEE float
   int64_t n_frames;
   int64_t data_offset;  // byte offset of pcm data
 };
@@ -67,9 +68,11 @@ int wav_probe(const char* path, WavInfo* info) {
   fclose(f);
   if (data_off < 0 || !rate || !channels || !bits) return -4;
   if (fmt != 1 && fmt != 3) return -5;  // PCM or float
+  if (fmt == 3 && bits != 32 && bits != 64) return -5;
   info->sample_rate = (int32_t)rate;
   info->channels = (int32_t)channels;
   info->bits = (int32_t)bits;
+  info->format = (int32_t)fmt;
   info->n_frames = data_size / (channels * (bits / 8));
   info->data_offset = data_off;
   return 0;
@@ -100,7 +103,15 @@ int64_t wav_read_window(const char* path, int64_t start, int64_t n_frames,
         int src_c = c < info.channels ? c : info.channels - 1;
         const uint8_t* p = buf + t * frame_bytes + src_c * bytes_per;
         float v = 0.f;
-        if (info.bits == 16) {
+        if (info.format == 3) {  // IEEE float (fmt 3): raw float samples
+          if (info.bits == 32) {
+            memcpy(&v, p, 4);
+          } else {  // 64-bit double (probe rejects other float widths)
+            double d;
+            memcpy(&d, p, 8);
+            v = (float)d;
+          }
+        } else if (info.bits == 16) {
           int16_t s;
           memcpy(&s, p, 2);
           v = (float)s / 32768.f;

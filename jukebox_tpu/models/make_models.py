@@ -86,7 +86,10 @@ def restore_opt(opt_state, checkpoint_path):
     if path is None:
         return opt_state, 0
     ckpt = _load_any(path, "opt", None)
-    return ckpt.get("opt", opt_state), int(ckpt.get("step", 0))
+    # converted torch .pth.tar checkpoints carry opt=None (key present, no
+    # convertible optimizer state) — keep the freshly initialised state then
+    opt = ckpt.get("opt")
+    return (opt_state if opt is None else opt), int(ckpt.get("step", 0))
 
 
 def save_model_checkpoint(logdir, name, runtime, opt_state, step, hps):
@@ -307,7 +310,9 @@ def make_vqvae(hps, device=None):
             blocks = []
             for level, s in enumerate(runtime.state["level_blocks"]):
                 raw_to_tokens = int(np.prod(downsamples[: level + 1]))
-                num_tokens = hps.sample_length // raw_to_tokens
+                # reference seeds with the GLOBAL per-step token count
+                # (make_models.py:104: num_tokens * dist.get_world_size())
+                num_tokens = (hps.sample_length // raw_to_tokens) * jax.device_count()
                 blocks.append(model.bottleneck.block.restore_state(
                     s["k"], num_tokens=num_tokens,
                     threshold=hps.revival_threshold))

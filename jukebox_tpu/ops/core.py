@@ -180,8 +180,9 @@ def embedding(params, ids, dtype=None):
 
 def filter_logits(logits, top_k=0, top_p=0.0, filter_value=-1e10):
     """Top-k and/or nucleus filtering over the last axis. top_k/top_p are
-    static Python values (they select the compiled program)."""
-    assert (top_k == 0) or (top_p == 0.0)
+    static Python values (they select the compiled program). Like the
+    reference (ops.py:113-142), both may be set: top-k applies first, then
+    nucleus filtering over the already-filtered logits."""
     if top_k > 0:
         top_k = min(top_k, logits.shape[-1])
         kth = jnp.sort(logits, axis=-1)[..., -top_k:-top_k + 1] if top_k > 1 else jnp.max(

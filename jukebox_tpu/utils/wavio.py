@@ -15,6 +15,7 @@ class _WavInfo(ctypes.Structure):
     _fields_ = [("sample_rate", ctypes.c_int32),
                 ("channels", ctypes.c_int32),
                 ("bits", ctypes.c_int32),
+                ("format", ctypes.c_int32),  # 1 = int PCM, 3 = IEEE float
                 ("n_frames", ctypes.c_int64),
                 ("data_offset", ctypes.c_int64)]
 
@@ -63,7 +64,7 @@ def probe(path):
     if lib.wav_probe(path.encode(), ctypes.byref(info)) != 0:
         return None
     return dict(sample_rate=info.sample_rate, channels=info.channels,
-                bits=info.bits, n_frames=info.n_frames)
+                bits=info.bits, format=info.format, n_frames=info.n_frames)
 
 
 def read_window(path, start, n_frames, out_channels=2, target_sr=None):

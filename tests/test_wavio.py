@@ -25,7 +25,23 @@ def test_native_available():
 def test_probe(wav_file):
     path, sig = wav_file
     info = wavio.probe(path)
-    assert info == dict(sample_rate=8000, channels=2, bits=16, n_frames=16000)
+    assert info == dict(sample_rate=8000, channels=2, bits=16, format=1,
+                        n_frames=16000)
+
+
+def test_float32_wav(tmp_path):
+    # fmt-3 IEEE-float wavs must decode as raw floats, not int32 PCM
+    path = str(tmp_path / "f32.wav")
+    sr = 8000
+    t = np.arange(sr) / sr
+    sig = np.stack([np.sin(2 * np.pi * 220 * t),
+                    np.cos(2 * np.pi * 550 * t)], 1).astype(np.float32)
+    wavfile.write(path, sr, sig)
+    info = wavio.probe(path)
+    assert info == dict(sample_rate=8000, channels=2, bits=32, format=3,
+                        n_frames=8000)
+    w = wavio.read_window(path, 50, 128)
+    np.testing.assert_allclose(w, sig.T[:, 50:178], atol=1e-7)
 
 
 def test_read_window_matches_scipy(wav_file):
