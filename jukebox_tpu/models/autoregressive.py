@@ -193,10 +193,10 @@ class ConditionalAutoregressive2D:
         pos = lax.dynamic_slice(params["pos_emb"]["pos_emb"], (t, 0), (1, self.width))
         return emb + pos[None] + cond, cond
 
-    def _decode_one(self, params, caches, x_tok, t, x_cond, y_cond, encoder_kv,
-                    fp16, n):
+    def _decode_one(self, params, dec_params, caches, x_tok, t, x_cond, y_cond,
+                    encoder_kv, fp16, n):
         h, cond = self._emb_at(params, t, x_tok, x_cond, y_cond, n)
-        h, caches = self.transformer.decode_step(params["transformer"], caches, h, t,
+        h, caches = self.transformer.decode_step(dec_params, caches, h, t,
                                                  encoder_kv=encoder_kv, fp16=fp16)
         if self.add_cond_after_transformer:
             h = h + cond
@@ -227,11 +227,14 @@ class ConditionalAutoregressive2D:
         dtype = jnp.bfloat16 if fp16 else jnp.float32
         caches = self.transformer.init_cache(params["transformer"], N, dtype,
                                              encoder_kv=encoder_kv)
+        # stack scan-segment params once, outside the token loop
+        dec_params = self.transformer.prepare_decode_params(params["transformer"])
 
         def step(carry, t):
             caches, x_tok, rng = carry
-            logits, caches = self._decode_one(params, caches, x_tok, t, x_cond,
-                                              y_cond, encoder_kv, fp16, N)
+            logits, caches = self._decode_one(params, dec_params, caches, x_tok,
+                                              t, x_cond, y_cond, encoder_kv,
+                                              fp16, N)
             tok = self._sample_tok(logits, jax.random.fold_in(rng, t), temp,
                                    top_k, top_p)
             out = (tok, logits[:, 0]) if get_preds else (tok, ())
@@ -266,6 +269,7 @@ class ConditionalAutoregressive2D:
         dtype = jnp.bfloat16 if fp16 else jnp.float32
         caches = self.transformer.init_cache(params["transformer"], N, dtype,
                                              encoder_kv=encoder_kv)
+        dec_params = self.transformer.prepare_decode_params(params["transformer"])
 
         # --- prefill: inputs at position s are token s-1 (start token at 0)
         emb_in = jnp.take(params["x_emb"]["weight"], x_prime[:, :-1], axis=0)
@@ -293,7 +297,7 @@ class ConditionalAutoregressive2D:
                 i, h_chunk = inp
                 t0 = i * chunk
                 h, caches = self.transformer.prefill_chunk(
-                    params["transformer"], caches, h_chunk, t0, n_chunk_blocks,
+                    dec_params, caches, h_chunk, t0, n_chunk_blocks,
                     encoder_kv=encoder_kv, fp16=fp16)
                 return caches, (h if get_preds else ())
 
@@ -309,7 +313,7 @@ class ConditionalAutoregressive2D:
             def tail_step(caches, inp):
                 t, h_t = inp
                 h, caches = self.transformer.decode_step(
-                    params["transformer"], caches, h_t, t,
+                    dec_params, caches, h_t, t,
                     encoder_kv=encoder_kv, fp16=fp16)
                 return caches, (h if get_preds else ())
 
@@ -328,8 +332,9 @@ class ConditionalAutoregressive2D:
         # --- generation
         def step(carry, t):
             caches, x_tok, rng = carry
-            logits, caches = self._decode_one(params, caches, x_tok, t, x_cond,
-                                              y_cond, encoder_kv, fp16, N)
+            logits, caches = self._decode_one(params, dec_params, caches, x_tok,
+                                              t, x_cond, y_cond, encoder_kv,
+                                              fp16, N)
             tok = self._sample_tok(logits, jax.random.fold_in(rng, t), temp,
                                    top_k, top_p)
             out = (tok, logits[:, 0]) if get_preds else (tok, ())

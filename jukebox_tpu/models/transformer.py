@@ -208,93 +208,150 @@ class Transformer:
         return x, ws
 
     # -- incremental decoding -------------------------------------------------
+    #
+    # The decode HLO is kept small by folding runs of layers with a repeating
+    # attn_func pattern into a lax.scan over parameters stacked along a
+    # leading group axis (the 72-layer attn_order-2 upsampler becomes a
+    # 3-layer body scanned 24x; the 79-layer 5b_lyrics order-10 schedule
+    # becomes [1,2,3]x3 + a 10-layer body scanned 7x). Layers that do not fit
+    # a run (e.g. the interleaved prime/dense layers of orders 11/12) are
+    # applied flat. The partition is chosen by a small DP that minimises the
+    # number of traced layer bodies.
+
+    def block_cfg_f(self, attn_func):
+        """Block config with an explicit attn_func (all other fields are
+        depth-independent)."""
+        return ResAttnBlock(
+            n_in=self.n_in, n_ctx=self.n_ctx, n_head=self.n_head,
+            attn_func=attn_func, blocks=self.blocks, spread=self.spread,
+            encoder_dims=self.encoder_dims, prime_len=self.prime_len,
+            m_attn=self.m_attn, m_mlp=self.m_mlp, mask=self.mask,
+            zero_out=self.zero_out, init_scale=self.init_scale,
+            res_scale=(1.0 / self.n_depth) if self.res_scale else 1.0,
+            afn=self.afn, checkpoint_attn=self.checkpoint_attn,
+            checkpoint_mlp=self.checkpoint_mlp)
 
     @property
-    def stacked_cycle(self):
-        """Cycle length when the depth can be folded into a lax.scan over
-        stacked per-cycle-position parameters (identical param structure and
-        cache shape per position). Shrinks the decode HLO by n_depth/cycle —
-        a 72-layer attn_order-2 prior becomes a 3-layer body scanned 24x."""
-        cycle = ATTN_CYCLES[self.attn_order]
-        if self.n_depth % cycle or self.n_depth == cycle:
-            return None
-        funcs = {self.attn_func(d) for d in range(self.n_depth)}
-        if not funcs <= {1, 2, 3}:  # ring-cache patterns only
-            return None
-        return cycle
+    def decode_plan(self):
+        """Partition of the layer stack for incremental decoding, as a tuple
+        of segments:
+          ("flat", d)                — apply layer d individually
+          ("scan", funcs, starts)    — lax.scan over len(starts) groups; each
+                                       group is len(funcs) consecutive layers
+                                       whose attn_funcs equal `funcs`; group g
+                                       covers layers starts[g]..starts[g]+L-1.
+        Chosen by DP minimising the total number of traced layer bodies
+        (scan body costs len(funcs); flat layer costs 1)."""
+        funcs = tuple(self.attn_func(d) for d in range(self.n_depth))
+        n = self.n_depth
+        cost = [0] * (n + 1)
+        choice = [None] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            best, pick = 1 + cost[i + 1], ("flat",)
+            for L in range(1, (n - i) // 2 + 1):
+                pat = funcs[i:i + L]
+                r = 2
+                while i + r * L <= n and funcs[i + (r - 1) * L: i + r * L] == pat:
+                    c = L + cost[i + r * L]
+                    if c < best:
+                        best, pick = c, ("scan", L, r)
+                    r += 1
+            cost[i], choice[i] = best, pick
+        segs, i = [], 0
+        while i < n:
+            pick = choice[i]
+            if pick[0] == "flat":
+                segs.append(("flat", i))
+                i += 1
+            else:
+                _, L, r = pick
+                segs.append(("scan", funcs[i:i + L],
+                             tuple(i + g * L for g in range(r))))
+                i += L * r
+        return tuple(segs)
 
-    def _stack_cycle(self, trees):
-        """[per-layer trees] -> list of `cycle` trees with a leading
-        n_groups axis."""
-        c = self.stacked_cycle
-        n_groups = self.n_depth // c
-        return [jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs),
-                    *[trees[g * c + j] for g in range(n_groups)])
-                for j in range(c)]
+    def _segment_trees(self, per_layer):
+        """Group a per-layer list of pytrees by decode_plan: flat segments
+        keep the layer's tree; scan segments hold, per pattern position, the
+        groups' trees stacked along a new leading axis."""
+        out = []
+        for seg in self.decode_plan:
+            if seg[0] == "flat":
+                out.append(per_layer[seg[1]])
+            else:
+                _, pat, starts = seg
+                out.append(tuple(
+                    jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs),
+                        *[per_layer[s + j] for s in starts])
+                    for j in range(len(pat))))
+        return out
+
+    def prepare_decode_params(self, params):
+        """Stack scan-segment layer params once per sampling call (outside
+        the token scan, so the stacked copies are loop-invariant). NOTE: the
+        stacked copies temporarily duplicate the scanned layers' weights in
+        HBM; at 5B scale shard params over `mp` before sampling."""
+        return self._segment_trees(params["blocks"])
 
     def init_cache(self, params, bs, dtype, encoder_kv=None, sample_ctx=None):
-        caches = []
+        per_layer = []
         for d in range(self.n_depth):
             cfg = self.block_cfg(d)
             enc = encoder_kv if cfg.attn_func == 6 else None
-            caches.append(cfg.attn.init_cache(params["blocks"][d]["attn"], bs, dtype,
-                                              encoder_kv=enc, sample_ctx=sample_ctx))
-        if self.stacked_cycle:
-            return self._stack_cycle(caches)
-        return caches
+            per_layer.append(cfg.attn.init_cache(params["blocks"][d]["attn"],
+                                                 bs, dtype, encoder_kv=enc,
+                                                 sample_ctx=sample_ctx))
+        return self._segment_trees(per_layer)
 
-    def _stacked_apply(self, method, params, caches, x, *args):
-        c = self.stacked_cycle
-        stacked_params = self._stack_cycle(params["blocks"])
+    def _segmented_apply(self, method, dec_params, caches, x, args,
+                         encoder_kv=None):
+        """Run `method` (decode_step / prefill_chunk, called as
+        method(params, cache, x, *args, encoder_kv=...)) over the decode_plan
+        segments."""
+        new_caches = []
+        for seg, p_seg, c_seg in zip(self.decode_plan, dec_params, caches):
+            if seg[0] == "flat":
+                cfg = self.block_cfg(seg[1])
+                enc = encoder_kv if cfg.attn_func == 6 else None
+                x, nc = getattr(cfg, method)(p_seg, c_seg, x, *args,
+                                             encoder_kv=enc)
+            else:
+                _, pat, _ = seg
 
-        def body(x, inp):
-            group_params, group_caches = inp
-            new_caches = []
-            for j in range(c):
-                x, nc = getattr(self.block_cfg(j), method)(
-                    group_params[j], group_caches[j], x, *args)
-                new_caches.append(nc)
-            return x, tuple(new_caches)
+                def body(h, inp, _pat=pat):
+                    gp, gc = inp
+                    ncs = []
+                    for j, f in enumerate(_pat):
+                        enc = encoder_kv if f == 6 else None
+                        h, c = getattr(self.block_cfg_f(f), method)(
+                            gp[j], gc[j], h, *args, encoder_kv=enc)
+                        ncs.append(c)
+                    return h, tuple(ncs)
 
-        x, new_caches = jax.lax.scan(body, x, (tuple(stacked_params),
-                                               tuple(caches)))
-        return x, list(new_caches)
+                x, nc = jax.lax.scan(body, x, (p_seg, c_seg))
+            new_caches.append(nc)
+        return x, new_caches
 
-    def decode_step(self, params, caches, x, t, encoder_kv=None, fp16=False,
-                    fp16_out=False):
+    def decode_step(self, dec_params, caches, x, t, encoder_kv=None,
+                    fp16=False, fp16_out=False):
+        """One-token decode. dec_params comes from prepare_decode_params."""
         if fp16:
             x = x.astype(jnp.bfloat16)
-        if self.stacked_cycle:
-            x, new_caches = self._stacked_apply("decode_step", params, caches,
-                                                x, t)
-        else:
-            new_caches = []
-            for d in range(self.n_depth):
-                cfg = self.block_cfg(d)
-                enc = encoder_kv if cfg.attn_func == 6 else None
-                x, c = cfg.decode_step(params["blocks"][d], caches[d], x, t,
-                                       encoder_kv=enc)
-                new_caches.append(c)
+        x, new_caches = self._segmented_apply("decode_step", dec_params,
+                                              caches, x, (t,),
+                                              encoder_kv=encoder_kv)
         if not fp16_out:
             x = x.astype(jnp.float32)
         return x, new_caches
 
-    def prefill_chunk(self, params, caches, x, t0, n_blocks, encoder_kv=None,
-                      fp16=False, fp16_out=False):
+    def prefill_chunk(self, dec_params, caches, x, t0, n_blocks,
+                      encoder_kv=None, fp16=False, fp16_out=False):
         if fp16:
             x = x.astype(jnp.bfloat16)
-        if self.stacked_cycle:
-            x, new_caches = self._stacked_apply("prefill_chunk", params, caches,
-                                                x, t0, n_blocks)
-        else:
-            new_caches = []
-            for d in range(self.n_depth):
-                cfg = self.block_cfg(d)
-                enc = encoder_kv if cfg.attn_func == 6 else None
-                x, c = cfg.prefill_chunk(params["blocks"][d], caches[d], x, t0,
-                                         n_blocks, encoder_kv=enc)
-                new_caches.append(c)
+        x, new_caches = self._segmented_apply("prefill_chunk", dec_params,
+                                              caches, x, (t0, n_blocks),
+                                              encoder_kv=encoder_kv)
         if not fp16_out:
             x = x.astype(jnp.float32)
         return x, new_caches

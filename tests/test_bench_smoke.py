@@ -1,0 +1,61 @@
+"""bench.py plumbing smoke test: a tiny 3-level model family through all
+three measured phases on CPU must emit the one-line JSON with a positive
+value (guards the driver-facing artifact against bitrot)."""
+
+import json
+import os
+
+import pytest
+
+from jukebox_tpu import hparams
+from jukebox_tpu.models import make_models
+
+
+_SMOKE_VQVAE = dict(
+    sample_length=0, levels=3, downs_t=(2, 1, 1), strides_t=(2, 2, 2),
+    emb_width=16, l_bins=32, l_mu=0.99, commit=0.02, width=8, depth=1,
+    m_conv=1.0, dilation_growth_rate=1, sr=8000,
+)
+_SMOKE_UP = dict(
+    level=1, n_ctx=64, prior_width=32, prior_depth=6, heads=2, attn_order=2,
+    blocks=8, init_scale=0.4, cond_width=16, cond_depth=1,
+    cond_dilation_growth_rate=1, cond_dilation_cycle=None, use_tokens=False,
+    labels=True, y_bins=(120, 4111), t_bins=16, max_bow_genre_size=5,
+    n_vocab=80, min_duration=0.0, max_duration=600.0, sr=8000,
+)
+_SMOKE_TOP = dict(
+    level=2, n_ctx=32, prior_width=32, prior_depth=6, heads=2, attn_order=12,
+    blocks=8, init_scale=0.2, labels=True, labels_v3=True, y_bins=(604, 7898),
+    t_bins=16, max_bow_genre_size=1, n_vocab=79, min_duration=0.0,
+    max_duration=600.0, use_tokens=True, n_tokens=8, prime_loss_fraction=0.4,
+    single_enc_dec=True, sr=8000,
+)
+
+
+def test_bench_smoke(tmp_path, monkeypatch, capsys):
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_vqvae",
+                        dict(_SMOKE_VQVAE))
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_up",
+                        dict(_SMOKE_UP))
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_top",
+                        dict(_SMOKE_TOP))
+    monkeypatch.setitem(make_models.MODELS, "bench_smoke",
+                        ("bench_smoke_vqvae", "bench_smoke_up",
+                         "bench_smoke_up", "bench_smoke_top"))
+    monkeypatch.setenv("BENCH_MODEL", "bench_smoke")
+    monkeypatch.setenv("BENCH_ALLOW_CPU", "1")
+    monkeypatch.setenv("BENCH_N_SAMPLES", "2")
+    monkeypatch.setenv("BENCH_BUDGET_S", "600")
+    monkeypatch.setenv("JAX_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.chdir(tmp_path)
+
+    import bench
+    bench.main()
+
+    out = capsys.readouterr().out.strip().splitlines()
+    line = json.loads(out[-1])
+    assert line["value"] > 0
+    assert line["unit"] == "audio_sec/chip_hour"
+    assert line["vs_baseline"] == pytest.approx(line["value"] / 0.11, rel=1e-2)
+    details = json.loads((tmp_path / "bench_details.json").read_text())
+    assert set(details["phases"]) == {"top", "up_anc", "up_primed"}
