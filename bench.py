@@ -84,9 +84,20 @@ def main():
     # persistent compile cache: the remote-compile tunnel takes minutes per
     # graph; cached compiles make reruns pay only once. The cache dir is
     # untracked (machine-specific AOT artifacts must never ship in git).
+    # Only long compiles (the TPU sample graphs) are cached: XLA:CPU AOT
+    # entries mis-verify host CPU features even on the machine that wrote
+    # them ("could lead to SIGILL" loader errors), so small host-side graphs
+    # are kept out of the cache and stale small entries are swept.
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    try:
+        for f in os.listdir(cache_dir):
+            p = os.path.join(cache_dir, f)
+            if os.path.isfile(p) and os.path.getsize(p) < 1_000_000:
+                os.unlink(p)
+    except OSError:
+        pass
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
     # expose the host CPU backend alongside the TPU so billion-param priors
     # initialise host-side and stage per level
     if not os.environ.get("BENCH_ALLOW_CPU"):

@@ -40,15 +40,14 @@ def get_alignment(x, zs, labels, prior, fp16, hps):
         for indices in indices_hop:
             assert len(indices) == n_tokens
 
-        w_hops = []
-        for i in range(bs):
-            import jax.numpy as jnp
-            w_hop = prior.z_forward(jnp.asarray(z[i:i + 1, start:end]), [],
-                                    y[i:i + 1], fp16=fp16,
-                                    get_attn_weights=attn_layers)
-            assert len(w_hop) == 1
-            w_hops.append(np.asarray(w_hop[0][:, alignment_head], dtype=np.float32))
-        alignment_hop = np.concatenate(w_hops, axis=0)
+        # one batched attention-recording forward per hop (the reference
+        # batches the hop the same way, align.py:42-59)
+        import jax.numpy as jnp
+        w_hop = prior.z_forward(jnp.asarray(z[:, start:end]), [], y,
+                                fp16=fp16, get_attn_weights=attn_layers)
+        assert len(w_hop) == 1
+        alignment_hop = np.asarray(w_hop[0][:, alignment_head],
+                                   dtype=np.float32)
         assert alignment_hop.shape == (bs, n_ctx, n_tokens)
 
         indices_hops[start] = indices_hop

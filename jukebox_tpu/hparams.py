@@ -6,8 +6,11 @@ reference can reuse their `--hps=vqvae,small_prior,...` invocations, while the
 values drive the TPU-native model factories in jukebox_tpu.models.make_models.
 
 Differences from the reference:
-  * fp16 flags select bf16 compute on TPU (no dynamic loss scaling needed);
-    an explicit fp32 master-weight policy is always on.
+  * fp16 selects bf16 compute on TPU (fp32 master weights always on);
+    fp16 also enables the reference's dynamic loss scaling (LossScalar),
+    fp16_opt keeps Adam moments in fp16 with per-tensor rescaling, and
+    cpu_ema holds the EMA shadow in host RAM — the three memory/numerics
+    parity modes of utils/fp16.py + utils/ema.py.
   * distributed options describe a jax.sharding mesh instead of NCCL buckets.
 """
 
@@ -308,7 +311,8 @@ _register(
     **_small_prior,
 )
 
-# On TPU `fp16` selects bf16 compute; kept for CLI compatibility.
+# fp16 -> bf16 compute + dynamic loss scaling; fp16_opt -> fp16 Adam moments
+# with per-tensor inf-norm rescaling (reference FP16FusedAdam).
 _register("all_fp16", fp16=True, fp16_params=True, fp16_opt=True, fp16_scale_window=250)
 _register("cpu_ema", ema=True, cpu_ema=True, cpu_ema_freq=100, ema_fused=False)
 

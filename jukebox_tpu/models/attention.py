@@ -44,6 +44,27 @@ from jukebox_tpu.ops.core import dense, dense_init
 _PRECISION = lax.Precision.HIGHEST
 NEG = -1e9
 
+# Opt-in blocked (flash) kernel for the long-context dense layers; set
+# JUKEBOX_FLASH_ATTN=0/1 or call set_flash_attn. Default: on for TPU
+# backends, off elsewhere (the Pallas kernel would run interpreted on CPU).
+_FLASH_ATTN = None
+_FLASH_MIN_CTX = 2048
+
+
+def set_flash_attn(enabled):
+    global _FLASH_ATTN
+    _FLASH_ATTN = bool(enabled)
+
+
+def use_flash_attn():
+    import os
+    if _FLASH_ATTN is not None:
+        return _FLASH_ATTN
+    env = os.environ.get("JUKEBOX_FLASH_ATTN")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return jax.default_backend() in ("tpu", "axon")
+
 
 # ---------------------------------------------------------------------------
 # Static masks (trace-time numpy; reference get_mask, factored_attention.py:15-28)
@@ -174,6 +195,11 @@ class FactoredAttention:
         f = self.attn_func
         B, L, S = v.shape
         if f == 0:
+            if (self.mask and not record and L >= _FLASH_MIN_CTX
+                    and use_flash_attn()):
+                from jukebox_tpu.ops.pallas.flash_attention import \
+                    flash_dense_attn
+                return flash_dense_attn(q, k, v, self.n_head), None
             mask = _causal_mask(L, L, 0) if self.mask else None
             return dense_attn(q, k, v, self.n_head, mask, record)
         if f == 1:

@@ -21,7 +21,8 @@ from jukebox_tpu.parallel.dist import make_mesh, replicate, shard_batch
 from jukebox_tpu.utils.audio_utils import audio_preprocess
 from jukebox_tpu.utils.cli import fire
 from jukebox_tpu.utils.logger import init_logging
-from jukebox_tpu.utils.train_utils import (adam_init, adam_update,
+from jukebox_tpu.utils.profiler import StepTimer
+from jukebox_tpu.utils.train_utils import (LossScalar, adam_init, adam_update,
                                            clipped_grad_scale, get_ema,
                                            global_grad_norm, make_lr_schedule)
 
@@ -30,29 +31,40 @@ def _tree_where(ok, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(ok, x, y), a, b)
 
 
+def _apply_update(params, grads, opt_state, hps, lr_fn, it, loss_scale):
+    """Shared tail of both train steps: the reference's scaled-gradient Adam
+    with clipping folded into the divisor and the all-ranks overflow/spike
+    step skip (train.py:236-243, fp16.py:39-65). `loss_scale` is the dynamic
+    loss scale the gradients already carry (1.0 when scaling is off)."""
+    gn_scaled = global_grad_norm(grads)
+    gn = gn_scaled / loss_scale
+    scale = clipped_grad_scale(gn, hps.clip, scale=loss_scale)
+    lr = lr_fn(it)
+    new_params, new_opt = adam_update(params, grads, opt_state, lr,
+                                      hps.beta1, hps.beta2, hps.eps,
+                                      hps.weight_decay, scale)
+    ok = jnp.isfinite(gn_scaled)
+    if hps.ignore_grad_norm > 0:
+        ok = ok & (gn <= hps.ignore_grad_norm)
+    new_params = _tree_where(ok, new_params, params)
+    new_opt = _tree_where(ok, new_opt, opt_state)
+    return new_params, new_opt, gn, lr, ok
+
+
 def make_vqvae_train_step(runtime, hps, lr_fn):
     model = runtime.model
 
-    def step(params, opt_state, vq_state, x, rng, it):
+    def step(params, opt_state, vq_state, x, rng, it, loss_scale=1.0):
         def loss_fn(params):
             _, loss, metrics, new_state = model.forward(
                 params, vq_state, x, hps, loss_fn=hps.loss_fn, train=True, rng=rng)
-            return loss, (metrics, new_state)
+            return loss * loss_scale, (loss, metrics, new_state)
 
-        (loss, (metrics, new_state)), grads = jax.value_and_grad(
+        (_, (loss, metrics, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        gn = global_grad_norm(grads)
-        scale = clipped_grad_scale(gn, hps.clip)
-        lr = lr_fn(it)
-        new_params, new_opt = adam_update(params, grads, opt_state, lr,
-                                          hps.beta1, hps.beta2, hps.eps,
-                                          hps.weight_decay, scale)
-        ok = jnp.isfinite(gn)
-        if hps.ignore_grad_norm > 0:
-            ok = ok & (gn <= hps.ignore_grad_norm)
-        new_params = _tree_where(ok, new_params, params)
-        new_opt = _tree_where(ok, new_opt, opt_state)
-        metrics = dict(metrics, gn=gn, lr=lr)
+        new_params, new_opt, gn, lr, ok = _apply_update(
+            params, grads, opt_state, hps, lr_fn, it, loss_scale)
+        metrics = dict(metrics, gn=gn, lr=lr, step_ok=ok)
         return new_params, new_opt, new_state, loss, metrics
 
     return jax.jit(step, donate_argnums=(0, 1, 2))
@@ -64,7 +76,7 @@ def make_prior_train_step(runtime, hps, lr_fn):
     vq_params = runtime.vqvae.params
     vq_state = runtime.vqvae.state
 
-    def step(params, opt_state, _, batch, rng, it):
+    def step(params, opt_state, _, batch, rng, it, loss_scale=1.0):
         x, y = batch
 
         def loss_fn(params):
@@ -73,21 +85,13 @@ def make_prior_train_step(runtime, hps, lr_fn):
             z, z_conds = zs[0], zs[1:]
             loss, metrics = prior.z_forward(params, z, z_conds=z_conds, y=y,
                                             fp16=hps.fp16)
-            return loss, metrics
+            return loss * loss_scale, (loss, metrics)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        gn = global_grad_norm(grads)
-        scale = clipped_grad_scale(gn, hps.clip)
-        lr = lr_fn(it)
-        new_params, new_opt = adam_update(params, grads, opt_state, lr,
-                                          hps.beta1, hps.beta2, hps.eps,
-                                          hps.weight_decay, scale)
-        ok = jnp.isfinite(gn)
-        if hps.ignore_grad_norm > 0:
-            ok = ok & (gn <= hps.ignore_grad_norm)
-        new_params = _tree_where(ok, new_params, params)
-        new_opt = _tree_where(ok, new_opt, opt_state)
-        metrics = dict(metrics, gn=gn, lr=lr)
+        (_, (loss, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        new_params, new_opt, gn, lr, ok = _apply_update(
+            params, grads, opt_state, hps, lr_fn, it, loss_scale)
+        metrics = dict(metrics, gn=gn, lr=lr, step_ok=ok)
         return new_params, new_opt, None, loss, metrics
 
     return jax.jit(step, donate_argnums=(0, 1))
@@ -191,7 +195,7 @@ def make_eval_step(runtime, hps):
 
 
 def train(step_fns, runtime, opt_state, ema, logger, metrics, data_processor,
-          hps, mesh, rng):
+          hps, mesh, rng, scalar=None):
     if hps.prior:
         _print_keys = dict(l="loss", bpd="bpd", gn="gn", g_l="gen_loss",
                            p_l="prime_loss")
@@ -200,6 +204,8 @@ def train(step_fns, runtime, opt_state, ema, logger, metrics, data_processor,
                            e="entropy", u="usage", uc="used_curr", gn="gn",
                            pn="pn", dk="dk")
     train_step = step_fns["train"]
+    timer = StepTimer(skip_first=1)
+    tracing = False
 
     for i, batch in logger.get_range(data_processor.train_loader):
         x, y = batch if isinstance(batch, tuple) else (batch, None)
@@ -210,12 +216,25 @@ def train(step_fns, runtime, opt_state, ema, logger, metrics, data_processor,
             y = shard_batch(mesh, jnp.asarray(np.asarray(y)))
         log_input_output = (logger.iters % hps.save_iters == 0)
 
+        # jax.profiler trace of a few steady-state steps (SURVEY §5)
+        if hps.debug_speed and logger.iters == 2 and not tracing:
+            jax.profiler.start_trace(f"{logger.logdir}/trace")
+            tracing = True
+        if tracing and logger.iters >= 2 + min(8, hps.debug_iters):
+            jax.profiler.stop_trace()
+            tracing = False
+            print(f"Saved profiler trace to {logger.logdir}/trace")
+
         logger.step()
         vq_state = runtime.state if not hps.prior else None
         batch_in = (x, y) if hps.prior else x
-        runtime.params, opt_state, new_state, loss, _metrics = train_step(
-            runtime.params, opt_state, vq_state, batch_in, r_step,
-            jnp.asarray(logger.iters, jnp.int32))
+        loss_scale = jnp.asarray(scalar.get_scale() if scalar else 1.0,
+                                 jnp.float32)
+        with timer:
+            runtime.params, opt_state, new_state, loss, _metrics = train_step(
+                runtime.params, opt_state, vq_state, batch_in, r_step,
+                jnp.asarray(logger.iters, jnp.int32), loss_scale)
+            loss = jax.block_until_ready(loss)
         if new_state is not None:
             runtime.state = new_state
         if ema is not None:
@@ -223,6 +242,13 @@ def train(step_fns, runtime, opt_state, ema, logger, metrics, data_processor,
 
         _metrics = {k: float(v) for k, v in _metrics.items()}
         _metrics["loss"] = float(loss)
+        if scalar is not None:
+            # dynamic loss scaling: halve on overflow, grow per window
+            # (reference fp16.py:50-65 + LossScalar)
+            scalar.update_scale(not bool(_metrics.pop("step_ok")))
+            _metrics["lg_loss_scale"] = float(np.log2(scalar.get_scale()))
+        else:
+            _metrics.pop("step_ok", None)
         for key, val in _metrics.items():
             avg = metrics.update(key, val, int(x.shape[0]))
             _metrics[key] = avg
@@ -250,7 +276,10 @@ def train(step_fns, runtime, opt_state, ema, logger, metrics, data_processor,
 
         logger.set_postfix(**{pk: _metrics[k] for pk, k in _print_keys.items()
                               if k in _metrics})
+    if tracing:
+        jax.profiler.stop_trace()
     logger.close_range()
+    print(f"Step timing: {timer.summary()}")
     return {key: metrics.avg(key) for key in metrics.sum}, opt_state
 
 
@@ -276,10 +305,15 @@ def run(hps="teeny", port=29500, **kwargs):
         runtime = vqvae
 
     lr_fn = make_lr_schedule(hps)
-    opt_state = adam_init(runtime.params)
+    opt_state = adam_init(runtime.params, fp16_state=hps.fp16_opt)
     restore_path = hps.restore_prior if hps.prior else hps.restore_vqvae
     opt_state, _ = restore_opt(opt_state, restore_path)
     ema = get_ema(runtime.params, hps)
+    # dynamic loss scaling for true-fp16 numerics-parity runs (fp16.py:68-99);
+    # the TPU default (bf16 compute, fp32 grads) runs with scale 1.0
+    scalar = LossScalar(hps.fp16_loss_scale,
+                        scale_factor=2.0 ** (1.0 / hps.fp16_scale_window)) \
+        if hps.fp16 else None
 
     if hps.mesh_mp > 1 and hps.prior:
         # tensor-parallel param/optimizer placement over the 'mp' axis
@@ -313,7 +347,8 @@ def run(hps="teeny", port=29500, **kwargs):
             train_metrics, opt_state = train(step_fns, runtime, opt_state, ema,
                                              logger, metrics, data_processor,
                                              hps, mesh,
-                                             jax.random.fold_in(rng, epoch))
+                                             jax.random.fold_in(rng, epoch),
+                                             scalar=scalar)
             train_metrics["epoch"] = epoch
             if rank == 0:
                 print("Train", " ".join(f"{k}: {v:0.4f}"

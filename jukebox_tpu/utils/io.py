@@ -1,14 +1,29 @@
 """Audio file windowed decode + duration probing (equivalent of
 jukebox/utils/io.py). wav files are decoded with the stdlib `wave` module
-(fast random access via frame seek); other codecs go through PyAV when the
-optional `av` package is present. Durations are cached in `.dur` sidecar
-files like the reference (io.py:6-18)."""
+(fast random access via frame seek); other codecs (mp3/opus/m4a/aac) go
+through PyAV when the optional `av` package is present, else through the
+`ffmpeg` CLI (seek + decode-to-f32le over a pipe). Durations are cached in
+`.dur` sidecar files like the reference (io.py:6-18)."""
 
 import math
 import os
+import shutil
+import subprocess
 import wave
 
 import numpy as np
+
+
+def _have_av():
+    try:
+        import av  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _ffmpeg_bin(name="ffmpeg"):
+    return shutil.which(name)
 
 
 def get_duration_sec(file, cache=False):
@@ -31,10 +46,21 @@ def _probe_duration(file):
             return info["n_frames"] / info["sample_rate"]
         with wave.open(file, "rb") as w:
             return w.getnframes() / w.getframerate()
-    import av
-    container = av.open(file)
-    return container.streams.audio[0].duration * float(
-        container.streams.audio[0].time_base)
+    if _have_av():
+        import av
+        container = av.open(file)
+        return container.streams.audio[0].duration * float(
+            container.streams.audio[0].time_base)
+    ffprobe = _ffmpeg_bin("ffprobe")
+    if ffprobe:
+        out = subprocess.run(
+            [ffprobe, "-v", "error", "-show_entries", "format=duration",
+             "-of", "default=noprint_wrappers=1:nokey=1", file],
+            capture_output=True, check=True)
+        return float(out.stdout.strip())
+    raise RuntimeError(
+        f"cannot probe {file}: non-wav decode needs the `av` package or an "
+        f"`ffmpeg`/`ffprobe` binary on PATH (reference io.py:6-18)")
 
 
 def load_audio(file, sr, offset, duration, resample=True, approx=False,
@@ -49,9 +75,11 @@ def load_audio(file, sr, offset, duration, resample=True, approx=False,
 
     if file.lower().endswith(".wav"):
         sig, file_sr = _load_wav_window(file, offset, duration, sr)
-    else:
+    elif _have_av():
         sig, file_sr = _load_av_window(file, offset, duration, sr, approx,
                                        check_duration)
+    else:
+        sig, file_sr = _load_ffmpeg_window(file, offset, duration, sr)
     if resample and file_sr != sr:
         from jukebox_tpu.utils.audio_utils import _resample
         sig = _resample(sig, file_sr, sr)
@@ -97,6 +125,27 @@ def _load_wav_window(file, offset, duration, sr):
         raise ValueError(f"Unsupported sample width {width} in {file}")
     data = data.reshape(-1, n_channels).T  # [C, T]
     return data, file_sr
+
+
+def _load_ffmpeg_window(file, offset, duration, sr):
+    """Decode a window via the ffmpeg CLI: seek to the offset, resample to
+    target sr, stream f32le stereo PCM over a pipe (the subprocess fallback
+    for images without PyAV; same seek+decode+resample contract as
+    reference io.py:20-57)."""
+    ffmpeg = _ffmpeg_bin()
+    if not ffmpeg:
+        raise RuntimeError(
+            f"cannot decode {file}: non-wav decode needs the `av` package or "
+            f"an `ffmpeg` binary on PATH")
+    start_sec = offset / sr
+    dur_sec = duration / sr
+    cmd = [ffmpeg, "-v", "error", "-ss", f"{start_sec:.6f}", "-i", file,
+           "-t", f"{dur_sec + 0.05:.6f}", "-f", "f32le", "-ac", "2",
+           "-ar", str(sr), "pipe:1"]
+    out = subprocess.run(cmd, capture_output=True, check=True)
+    sig = np.frombuffer(out.stdout, dtype=np.float32)
+    sig = sig[: 2 * (sig.size // 2)].reshape(-1, 2).T  # interleaved -> [2, T]
+    return sig[:, :duration], sr
 
 
 def _load_av_window(file, offset, duration, sr, approx, check_duration):

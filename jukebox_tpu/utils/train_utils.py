@@ -22,10 +22,24 @@ import numpy as np
 # Adam (reference adam_step, fp16.py:12-29)
 # ---------------------------------------------------------------------------
 
-def adam_init(params):
+FLOAT16_MAX = 65504.0  # reference FP16FusedAdam.FLOAT16_MAX (fp16.py:146)
+
+
+def adam_init(params, fp16_state=False):
+    """Optimizer state. fp16_state=True keeps the moments in fp16 with a
+    per-tensor fp32 rescale factor — the memory-parity analogue of the
+    reference's FP16FusedAdam (fp16.py:128-226), halving moment HBM at 5B
+    scale."""
+    if fp16_state:
+        f16 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float16), params)
+        ones = jax.tree_util.tree_map(
+            lambda p: jnp.ones((), jnp.float32), params)
+        return {"m": f16, "v": jax.tree_util.tree_map(jnp.copy, f16),
+                "m_scale": ones, "v_scale": jax.tree_util.tree_map(jnp.copy, ones),
+                "step": jnp.zeros((), jnp.int32)}
     zeros = jax.tree_util.tree_map(lambda p: jnp.zeros_like(p, dtype=jnp.float32),
                                    params)
-    import copy
     return {"m": zeros, "v": jax.tree_util.tree_map(jnp.copy, zeros),
             "step": jnp.zeros((), jnp.int32)}
 
@@ -33,7 +47,11 @@ def adam_init(params):
 def adam_update(params, grads, opt_state, lr, beta1, beta2, eps, weight_decay,
                 scale=1.0):
     """One Adam step with the reference's update form. `scale` divides the
-    gradients (clipping folded in via clipped_grad_scale)."""
+    gradients (loss scale x clipping, folded in via clipped_grad_scale).
+    Handles both fp32 moments and the fp16-state form of adam_init: fp16
+    moments are unscaled to fp32, updated, then renormalised by their new
+    per-tensor inf-norm (fp16.py:216-226)."""
+    fp16_state = "m_scale" in opt_state
     step = opt_state["step"] + 1
     b1 = jnp.asarray(beta1, jnp.float32)
     b2 = jnp.asarray(beta2, jnp.float32)
@@ -53,8 +71,23 @@ def adam_update(params, grads, opt_state, lr, beta1, beta2, eps, weight_decay,
     flat_g = treedef.flatten_up_to(grads)
     flat_m = treedef.flatten_up_to(opt_state["m"])
     flat_v = treedef.flatten_up_to(opt_state["v"])
+    if fp16_state:
+        flat_ms = treedef.flatten_up_to(opt_state["m_scale"])
+        flat_vs = treedef.flatten_up_to(opt_state["v_scale"])
+        flat_m = [m.astype(jnp.float32) * s for m, s in zip(flat_m, flat_ms)]
+        flat_v = [v.astype(jnp.float32) * s for v, s in zip(flat_v, flat_vs)]
     out = [upd(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
     new_p = treedef.unflatten([o[0] for o in out])
+    if fp16_state:
+        new_ms = [1e-8 + jnp.max(jnp.abs(o[1])) / FLOAT16_MAX for o in out]
+        new_vs = [1e-8 + jnp.max(jnp.abs(o[2])) / FLOAT16_MAX for o in out]
+        new_m = treedef.unflatten([(o[1] / s).astype(jnp.float16)
+                                   for o, s in zip(out, new_ms)])
+        new_v = treedef.unflatten([(o[2] / s).astype(jnp.float16)
+                                   for o, s in zip(out, new_vs)])
+        return new_p, {"m": new_m, "v": new_v,
+                       "m_scale": treedef.unflatten(new_ms),
+                       "v_scale": treedef.unflatten(new_vs), "step": step}
     new_m = treedef.unflatten([o[1] for o in out])
     new_v = treedef.unflatten([o[2] for o in out])
     return new_p, {"m": new_m, "v": new_v, "step": step}
@@ -164,9 +197,36 @@ class EMA:
         return self.shadow, params
 
 
+class CPUEMA:
+    """EMA shadow held in host RAM, updated every `freq` steps with mu**freq
+    — the reference CPUEMA (ema.py:26-54). Keeps the shadow out of HBM
+    entirely (at 5B scale the HBM shadow doubles param memory); the cost is
+    one device->host param pull per freq steps."""
+
+    def __init__(self, params, mu=0.999, freq=100):
+        self.mu = mu ** freq
+        self.freq = freq
+        self.steps = 0
+        self.shadow = jax.tree_util.tree_map(
+            lambda p: np.array(p, dtype=np.float32), params)
+
+    def step(self, params):
+        self.steps += 1
+        if self.steps % self.freq == 0:
+            host = jax.tree_util.tree_map(
+                lambda p: np.asarray(p, dtype=np.float32), params)
+            self.shadow = jax.tree_util.tree_map(
+                lambda s, p: self.mu * s + (1.0 - self.mu) * p,
+                self.shadow, host)
+
+    def swap(self, params):
+        return self.shadow, params
+
+
 def get_ema(params, hps):
     mu = hps.mu or (1.0 - (hps.bs * hps.get("ngpus", 1) / 8.0) / 1000)
     if hps.ema and hps.get("train", False):
-        freq = hps.cpu_ema_freq if hps.cpu_ema else 1
-        return EMA(params, mu=mu, freq=freq)
+        if hps.cpu_ema:
+            return CPUEMA(params, mu=mu, freq=hps.cpu_ema_freq)
+        return EMA(params, mu=mu, freq=1)
     return None

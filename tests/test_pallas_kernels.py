@@ -63,3 +63,43 @@ def test_adam_pallas_matches_xla():
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(o2["m"][k]), np.asarray(o1["m"][k]),
                                    atol=1e-6)
+
+
+@pytest.mark.parametrize("B,L,S,H,dtype", [
+    (2, 256, 128, 2, "float32"),
+    (1, 384, 256, 2, "float32"),   # L not a block multiple (padding path)
+    (2, 256, 96, 1, "bfloat16"),   # head dim needs lane padding (96 -> 128)
+])
+def test_flash_dense_attn_matches_dense(B, L, S, H, dtype):
+    from jukebox_tpu.models.attention import _causal_mask, dense_attn
+    from jukebox_tpu.ops.pallas.flash_attention import flash_dense_attn
+
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(B, L, S), dtype)
+    k = jnp.asarray(rs.randn(B, L, S), dtype)
+    v = jnp.asarray(rs.randn(B, L, S), dtype)
+    ref, _ = dense_attn(q, k, v, H, _causal_mask(L, L, 0))
+    out = flash_dense_attn(q, k, v, H, bq=128, bk=128, interpret=True)
+    atol = 2e-2 if dtype == "bfloat16" else 2e-5
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=atol)
+
+
+def test_flash_dense_attn_causality():
+    """Changing future K/V must not change past outputs (the gradient-based
+    mask property of FactoredAttention.check, factored_attention.py:383-410,
+    checked via perturbation)."""
+    from jukebox_tpu.ops.pallas.flash_attention import flash_dense_attn
+
+    rs = np.random.RandomState(1)
+    B, L, S, H = 1, 256, 128, 2
+    q = jnp.asarray(rs.randn(B, L, S), jnp.float32)
+    k = jnp.asarray(rs.randn(B, L, S), jnp.float32)
+    v = jnp.asarray(rs.randn(B, L, S), jnp.float32)
+    out1 = flash_dense_attn(q, k, v, H, bq=128, bk=128, interpret=True)
+    k2 = k.at[:, 200:].add(100.0)
+    v2 = v.at[:, 200:].add(-50.0)
+    out2 = flash_dense_attn(q, k2, v2, H, bq=128, bk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out1[:, :200]),
+                               np.asarray(out2[:, :200]), atol=1e-6)
+    assert np.abs(np.asarray(out1[:, 200:]) - np.asarray(out2[:, 200:])).max() > 1e-3

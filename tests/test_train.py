@@ -137,3 +137,79 @@ def test_prior_train_step(tmp_path):
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
     assert "bpd" in metrics and "gn" in metrics
+
+
+def test_fp16_state_adam_tracks_fp32():
+    """The fp16-moment optimizer (reference FP16FusedAdam, fp16.py:128-226)
+    must track the fp32-state update within fp16 quantisation error."""
+    rs = np.random.RandomState(1)
+    params = {"w": jnp.asarray(rs.randn(16, 8).astype(np.float32))}
+    opt32 = adam_init(params)
+    opt16 = adam_init(params, fp16_state=True)
+    assert opt16["m"]["w"].dtype == jnp.float16
+    p32, p16 = params, params
+    for i in range(5):
+        grads = {"w": jnp.asarray(rs.randn(16, 8).astype(np.float32))}
+        p32, opt32 = adam_update(p32, grads, opt32, 1e-2, 0.9, 0.99, 1e-8, 0.0)
+        p16, opt16 = adam_update(p16, grads, opt16, 1e-2, 0.9, 0.99, 1e-8, 0.0)
+    np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
+                               rtol=0, atol=2e-4)
+    # the stored moments stay representable: scale * fp16 == fp32 moment
+    m = np.asarray(opt16["m"]["w"], np.float32) * float(opt16["m_scale"]["w"])
+    np.testing.assert_allclose(m, np.asarray(opt32["m"]["w"]), atol=2e-4)
+
+
+def test_cpu_ema_matches_hbm_ema():
+    from jukebox_tpu.utils.train_utils import CPUEMA, EMA
+    rs = np.random.RandomState(2)
+    params = {"w": jnp.asarray(rs.randn(4, 4).astype(np.float32))}
+    ema = EMA(params, mu=0.9, freq=2)
+    cema = CPUEMA(params, mu=0.9, freq=2)
+    for i in range(6):
+        params = {"w": params["w"] + 0.1 * rs.randn(4, 4).astype(np.float32)}
+        ema.step(params)
+        cema.step(params)
+    assert isinstance(cema.shadow["w"], np.ndarray)  # host-resident
+    np.testing.assert_allclose(cema.shadow["w"], np.asarray(ema.shadow["w"]),
+                               atol=1e-6)
+    sw, stash = cema.swap(params)
+    np.testing.assert_allclose(sw["w"], cema.shadow["w"])
+
+
+def test_loss_scaling_is_neutral_and_dynamic():
+    """A power-of-two loss scale must produce bit-identical fp32 updates
+    (grads carry scale S, the optimizer divides by S), and LossScalar must
+    halve on overflow / grow per window."""
+    from jukebox_tpu.train import make_vqvae_train_step
+    from jukebox_tpu.utils.train_utils import LossScalar
+    hps = setup_hparams("teeny", dict(
+        sample_length=512, sr=8000, levels=2, downs_t=(2, 1), strides_t=(2, 2),
+        emb_width=16, l_bins=32, l_mu=0.99, commit=0.02, width=8, depth=2,
+        m_conv=1.0, dilation_growth_rate=1, loss_fn="l2", lr=1e-3, train=True))
+    hps.bandwidth = {"l1": 1.0, "l2": 1.0, "spec": 1.0}
+    vqvae = make_vqvae(hps)
+    step = make_vqvae_train_step(vqvae, hps, make_lr_schedule(hps))
+    x = jax.random.uniform(jax.random.key(0), (2, 512, 1), minval=-1, maxval=1)
+
+    outs = []
+    for scale in (1.0, 2.0 ** 12):
+        # the train step donates params/opt/state; give each run its own copy
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        params, opt, state = (copy(vqvae.params), adam_init(vqvae.params),
+                              copy(vqvae.state))
+        params, opt, state, loss, metrics = step(
+            params, opt, state, x, jax.random.key(0), jnp.asarray(1),
+            jnp.asarray(scale, jnp.float32))
+        outs.append((np.asarray(jax.tree_util.tree_leaves(params)[0]),
+                     float(loss), bool(metrics["step_ok"])))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1] == outs[1][1]
+    assert outs[0][2] and outs[1][2]
+
+    sc = LossScalar(None, init_scale=2.0 ** 16, scale_factor=2.0,
+                    scale_window=2)
+    sc.update_scale(True)
+    assert sc.get_scale() == 2.0 ** 15
+    sc.update_scale(False)
+    sc.update_scale(False)
+    assert sc.get_scale() == 2.0 ** 16

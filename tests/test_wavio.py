@@ -66,3 +66,35 @@ def test_io_load_audio_uses_native(wav_file):
     expect = np.round(sig.T[:, 1000:1512] * 32767) / 32768
     np.testing.assert_allclose(x, expect, atol=1e-4)
     assert abs(get_duration_sec(path) - 2.0) < 1e-6
+
+
+def test_ffmpeg_cli_fallback(tmp_path, monkeypatch):
+    """Non-wav decode without PyAV goes through the ffmpeg CLI (seek +
+    f32le pipe). This image has no real decoder, so the subprocess plumbing
+    is proven with a shim that emits known PCM; on a deployment with real
+    ffmpeg the same code path decodes mp3/opus/m4a/aac."""
+    import os
+    import stat
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    sig = np.stack([np.sin(2 * np.pi * 100 * t),
+                    np.cos(2 * np.pi * 100 * t)], 1).astype(np.float32)
+    raw = tmp_path / "pcm.raw"
+    raw.write_bytes(sig.astype("<f4").tobytes())  # interleaved stereo f32le
+
+    shim = tmp_path / "ffmpeg"
+    shim.write_text(f"#!/bin/sh\ncat {raw}\n")
+    shim.chmod(shim.stat().st_mode | stat.S_IEXEC)
+    probe = tmp_path / "ffprobe"
+    probe.write_text("#!/bin/sh\necho 1.0\n")
+    probe.chmod(probe.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+
+    fake_mp3 = tmp_path / "song.mp3"
+    fake_mp3.write_bytes(b"\xff\xfb")  # content irrelevant, shim ignores it
+
+    x, got_sr = load_audio(str(fake_mp3), sr=sr, offset=0, duration=256)
+    assert got_sr == sr and x.shape == (2, 256)
+    np.testing.assert_allclose(x, sig.T[:, :256], atol=1e-7)
+    assert abs(get_duration_sec(str(fake_mp3)) - 1.0) < 1e-6
