@@ -16,9 +16,10 @@ reported on stderr):
   phase "up_primed": upsampler hop window (4096-token chunked prefill +
                     4096-token decode) — the dominant cascade cost
 
-Compile time is measured separately from execution via AOT lower/compile,
-so the number reflects steady-state sampling throughput; compile seconds are
-printed to stderr and both totals go into bench_details.json.
+Windows run through the segmented decode path (short device calls, one
+compiled segment graph reused everywhere); the first segment carries the
+compile and is excluded from the steady-state tokens/sec. Compile totals go
+to stderr and bench_details.json.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -57,25 +58,56 @@ def _alarm(signum, frame):
     raise BudgetExceeded()
 
 
-# static argnames of PriorRuntime._sample: baked into the compiled
-# executable, must be dropped from the AOT call
-_SAMPLE_STATICS = ("n_samples", "fp16", "temp", "top_k", "top_p",
-                   "chunk_size", "sample_tokens")
+SEGMENT = int(os.environ.get("BENCH_SEGMENT_TOKENS", "512"))
 
 
-def timed_aot(jit_fn, params, n, rng, **kwargs):
-    """Lower/compile/execute a PriorRuntime._sample call; returns
-    (out, compile_s, exec_s)."""
+def timed_window(prior, n, rng, z, z_conds, y, chunk_size, sample_tokens=None):
+    """Run one sampling window through the segmented decode path, timing the
+    init/prefill call and each decode segment. Returns a result dict with a
+    steady-state tokens/sec rate (first segment carries the segment-graph
+    compile and is excluded when later segments exist)."""
     import jax
+    import jax.numpy as jnp
+    model = prior.model
+
     t0 = time.time()
-    lowered = jit_fn.lower(params, n, rng, **kwargs)
-    compiled = lowered.compile()
-    t_compile = time.time() - t0
-    call_kwargs = {k: v for k, v in kwargs.items() if k not in _SAMPLE_STATICS}
+    state = prior._sample_init(prior.params, n, z=z, z_conds=z_conds, y=y,
+                               fp16=True, chunk_size=chunk_size)
+    caches, x_tok, x_cond, y_cond, encoder_kv = jax.block_until_ready(state)
+    t_init1 = time.time() - t0
+    # second init call: compile already cached -> prefill exec time
     t0 = time.time()
-    out = jax.block_until_ready(compiled(params, rng, **call_kwargs))
-    t_exec = time.time() - t0
-    return out, t_compile, t_exec
+    state = prior._sample_init(prior.params, n, z=z, z_conds=z_conds, y=y,
+                               fp16=True, chunk_size=chunk_size)
+    caches, x_tok, x_cond, y_cond, encoder_kv = jax.block_until_ready(state)
+    t_init = time.time() - t0
+
+    t = model.sample_prefix_len(z)
+    total = sample_tokens if sample_tokens is not None else model.n_ctx
+    if model.single_enc_dec:
+        total += model.n_tokens
+    seg_times = []
+    while t < total:
+        n_steps = min(SEGMENT, total - t)
+        t0 = time.time()
+        seg, caches, x_tok = prior._sample_segment(
+            prior.params, caches, x_tok, np.int32(t), n_steps, rng,
+            x_cond=x_cond, y_cond=y_cond, encoder_kv=encoder_kv,
+            fp16=True, temp=0.99, top_k=0, top_p=0.0)
+        jax.block_until_ready(seg)
+        seg_times.append((n_steps, time.time() - t0))
+        t += n_steps
+        log(f"  segment @{t}/{total}: {seg_times[-1][1]:.1f}s")
+    steady = seg_times[1:] if len(seg_times) > 1 else seg_times
+    toks = sum(s for s, _ in steady)
+    secs = sum(dt for _, dt in steady)
+    decoded = total - model.sample_prefix_len(z)
+    return dict(
+        init_compile_s=round(t_init1 - t_init, 1), init_s=round(t_init, 2),
+        seg_compile_s=round(seg_times[0][1] - (secs / max(toks, 1))
+                            * seg_times[0][0], 1) if len(seg_times) > 1 else 0.0,
+        tok_per_s=toks * n / secs, bs=n, tokens=decoded,
+        exec_s=t_init + decoded / (toks / secs))
 
 
 def main():
@@ -155,7 +187,7 @@ def main():
     bs_up = min(n_samples, 16)
 
     # build priors lazily per phase so a budget blowup still yields numbers
-    results = {}   # phase -> dict(compile_s, exec_s, tokens, bs)
+    results = {}   # phase -> timed_window result dicts
     details = dict(model=model, n_samples=n_samples, device=str(dev),
                    phases={})
 
@@ -171,15 +203,18 @@ def main():
             log(f"phase {name}: start (budget left {remaining():.0f}s)")
             fn()
             r = results[name]
-            rate = r["tokens"] * r["bs"] / r["exec_s"]
-            log(f"phase {name}: compile {r['compile_s']:.1f}s, "
-                f"exec {r['exec_s']:.1f}s, {rate:.1f} tok/s "
-                f"({r['tokens']} tokens x bs {r['bs']})")
-            details["phases"][name] = dict(r, tok_per_s=round(rate, 2))
+            log(f"phase {name}: init {r['init_s']:.1f}s "
+                f"(+{r['init_compile_s']:.0f}s compile), "
+                f"{r['tok_per_s']:.1f} tok/s steady "
+                f"({r['tokens']} tokens x bs {r['bs']}), "
+                f"window exec {r['exec_s']:.1f}s")
+            details["phases"][name] = dict(r, tok_per_s=round(r["tok_per_s"], 2))
         except BudgetExceeded:
             log(f"phase {name}: ABORTED at budget")
         finally:
             signal.alarm(0)
+
+    rngs = iter(jax.random.split(jax.random.key(0), 8))
 
     top = {}
 
@@ -194,16 +229,10 @@ def main():
                       lyrics=poems["ozymandias"], total_length=total_length,
                       offset=0)] * bs_top
         labels = prior.labeller.get_batch_labels(metas)
-        y = prior.get_y(labels, 0)
-        rng = jax.random.key(0)
         import jax.numpy as jnp
-        kwargs = dict(z=None, z_conds=None, y=jnp.asarray(y), fp16=True,
-                      temp=0.99, top_k=0, top_p=0.0, chunk_size=top_chunk,
-                      sample_tokens=None)
-        out, c_s, e_s = timed_aot(prior._sample, prior.params, bs_top, rng,
-                                  **kwargs)
-        results["top"] = dict(compile_s=c_s, exec_s=e_s, tokens=prior.n_ctx,
-                              bs=bs_top)
+        y = jnp.asarray(prior.get_y(labels, 0))
+        results["top"] = timed_window(prior, bs_top, next(rngs), None, None,
+                                      y, top_chunk)
         prior.to_host()
 
     ups = {}
@@ -229,13 +258,8 @@ def main():
         import jax.numpy as jnp
         n_cond = prior.n_ctx // prior.cond_downsample
         z_conds = [jnp.zeros((bs_up, n_cond), jnp.int32)]
-        kwargs = dict(z=None, z_conds=z_conds, y=jnp.asarray(ups["y"]),
-                      fp16=True, temp=0.99, top_k=0, top_p=0.0,
-                      chunk_size=32, sample_tokens=None)
-        out, c_s, e_s = timed_aot(prior._sample, prior.params, bs_up,
-                                  jax.random.key(1), **kwargs)
-        results["up_anc"] = dict(compile_s=c_s, exec_s=e_s,
-                                 tokens=prior.n_ctx, bs=bs_up)
+        results["up_anc"] = timed_window(prior, bs_up, next(rngs), None,
+                                         z_conds, jnp.asarray(ups["y"]), 32)
 
     def phase_up_primed():
         prior = _build_upsampler()
@@ -245,14 +269,9 @@ def main():
         z = jnp.asarray(np.random.RandomState(0).randint(
             0, vqvae.l_bins, (bs_up, hop)), jnp.int32)
         z_conds = [jnp.zeros((bs_up, n_cond), jnp.int32)]
-        kwargs = dict(z=z, z_conds=z_conds, y=jnp.asarray(ups["y"]),
-                      fp16=True, temp=0.99, top_k=0, top_p=0.0,
-                      chunk_size=32, sample_tokens=None)
-        out, c_s, e_s = timed_aot(prior._sample, prior.params, bs_up,
-                                  jax.random.key(2), **kwargs)
-        results["up_primed"] = dict(compile_s=c_s, exec_s=e_s,
-                                    tokens=prior.n_ctx, bs=bs_up,
-                                    primed=hop)
+        results["up_primed"] = dict(
+            timed_window(prior, bs_up, next(rngs), z, z_conds,
+                         jnp.asarray(ups["y"]), 32), primed=hop)
 
     run_phase("top", phase_top)
     run_phase("up_anc", phase_up_anc)
@@ -301,7 +320,9 @@ def main():
 
     audio_sec = n_samples * audio_sec_per_sample
     value = audio_sec / (t_total / 3600.0)
-    compile_total = sum(r.get("compile_s", 0.0) for r in results.values())
+    compile_total = sum(r.get("init_compile_s", 0.0)
+                        + r.get("seg_compile_s", 0.0)
+                        for r in results.values())
     log(f"cascade estimate: {t_total:.1f}s for {audio_sec:.1f} audio-sec "
         f"(bs {n_samples}); compile total {compile_total:.1f}s "
         f"(excluded from throughput). notes: {notes or 'all phases measured'}")

@@ -210,6 +210,121 @@ class ConditionalAutoregressive2D:
         logits = filter_logits(logits, top_k=top_k, top_p=top_p)
         return jax.random.categorical(rng, logits, axis=-1)
 
+    # -- segmented decoding ----------------------------------------------------
+    # The token scan can be split into fixed-size segments with the caches as
+    # carried state: one compiled segment graph is reused for the whole
+    # window (and across windows), each device call stays short (important on
+    # preemptible/remote device transports), and sampling becomes resumable.
+    # fold_in(rng, absolute_t) makes the segmented stream token-identical to
+    # the monolithic scan.
+
+    def sample_segment(self, params, caches, x_tok, t0, n_steps, rng,
+                       x_cond=None, y_cond=None, encoder_kv=None, fp16=False,
+                       temp=1.0, top_k=0, top_p=0.0):
+        """Decode `n_steps` (static) tokens starting at traced position t0.
+        x_tok: [N, 1] previous token (ignored at t=0 where the start/y_cond
+        embedding is used). Returns (tokens [N, n_steps], caches, x_tok)."""
+        N = x_tok.shape[0]
+        if not self.x_cond:
+            assert x_cond is None
+            x_cond = self._default_x_cond(N)
+        dec_params = self.transformer.prepare_decode_params(params["transformer"])
+
+        def step(carry, t):
+            caches, x_tok, rng = carry
+            logits, caches = self._decode_one(params, dec_params, caches, x_tok,
+                                              t, x_cond, y_cond, encoder_kv,
+                                              fp16, N)
+            tok = self._sample_tok(logits, jax.random.fold_in(rng, t), temp,
+                                   top_k, top_p)
+            return (caches, tok, rng), tok
+
+        (caches, x_tok, _), toks = lax.scan(
+            step, (caches, x_tok, rng), t0 + jnp.arange(n_steps))
+        return toks[:, :, 0].T, caches, x_tok
+
+    def init_decode_caches(self, params, n_samples, fp16=False,
+                           encoder_kv=None):
+        dtype = jnp.bfloat16 if fp16 else jnp.float32
+        return self.transformer.init_cache(params["transformer"], n_samples,
+                                           dtype, encoder_kv=encoder_kv)
+
+    def prefill(self, params, caches, x_prime, x_cond=None, y_cond=None,
+                encoder_kv=None, fp16=False, chunk_size=None):
+        """Fill `caches` with positions [0, P) from x_prime [N, P] (the
+        prefill half of primed_sample). Returns (caches, x_tok) ready for
+        sample_segment at t0=P."""
+        N, P = x_prime.shape
+        if not self.x_cond:
+            assert x_cond is None
+            x_cond = self._default_x_cond(N)
+        dec_params = self.transformer.prepare_decode_params(params["transformer"])
+        caches = self._run_prefill(params, dec_params, caches, x_prime, x_cond,
+                                   y_cond, encoder_kv, fp16, chunk_size)[0]
+        return caches, x_prime[:, -1:].astype(jnp.int32)
+
+    def _run_prefill(self, params, dec_params, caches, x_prime, x_cond, y_cond,
+                     encoder_kv, fp16, chunk_size, get_preds=False):
+        """Block-aligned chunked prefill + single-token tail (shared by
+        primed_sample and prefill)."""
+        N, P = x_prime.shape
+        x_cond_full = x_cond.shape[1] > 1
+        emb_in = jnp.take(params["x_emb"]["weight"], x_prime[:, :-1], axis=0)
+        emb_in = jnp.concatenate([self._start_emb(params, y_cond, N), emb_in],
+                                 axis=1)
+        conds = x_cond[:, :P] if x_cond_full else jnp.broadcast_to(
+            x_cond, (N, P, self.width))
+        h_in = emb_in + params["pos_emb"]["pos_emb"][None, :P] + conds
+
+        if self.blocks is not None:
+            bc = self.block_ctx
+            n_chunk_blocks = max(1, (chunk_size or bc) // bc)
+            chunk = n_chunk_blocks * bc
+        else:
+            chunk = max(1, chunk_size or P)
+            n_chunk_blocks = 0  # unused by pure-dense stacks
+        n_chunks = P // chunk
+        pred_chunks = []
+
+        if n_chunks > 0:
+            xs = h_in[:, :n_chunks * chunk].reshape(N, n_chunks, chunk, self.width)
+            xs = jnp.moveaxis(xs, 1, 0)
+
+            def chunk_step(caches, inp):
+                i, h_chunk = inp
+                h, caches = self.transformer.prefill_chunk(
+                    dec_params, caches, h_chunk, i * chunk, n_chunk_blocks,
+                    encoder_kv=encoder_kv, fp16=fp16)
+                return caches, (h if get_preds else ())
+
+            caches, hs = lax.scan(chunk_step, caches, (jnp.arange(n_chunks), xs))
+            if get_preds:
+                hs = jnp.moveaxis(hs, 0, 1).reshape(N, n_chunks * chunk, self.width)
+                pred_chunks.append(hs)
+
+        tail = P - n_chunks * chunk
+        if tail > 0:
+            tail_in = jnp.moveaxis(h_in[:, n_chunks * chunk:, None], 1, 0)
+
+            def tail_step(caches, inp):
+                t, h_t = inp
+                h, caches = self.transformer.decode_step(
+                    dec_params, caches, h_t, t, encoder_kv=encoder_kv, fp16=fp16)
+                return caches, (h if get_preds else ())
+
+            caches, hs = lax.scan(
+                tail_step, caches, (n_chunks * chunk + jnp.arange(tail), tail_in))
+            if get_preds:
+                pred_chunks.append(jnp.moveaxis(hs[:, :, 0], 0, 1))
+
+        prime_preds = None
+        if get_preds:
+            h_all = jnp.concatenate(pred_chunks, axis=1)
+            if self.add_cond_after_transformer:
+                h_all = h_all + conds
+            prime_preds = self._logits(params, h_all)
+        return caches, prime_preds
+
     # -- ancestral sampling (autoregressive.py:199-249) -----------------------
 
     def sample(self, params, n_samples, rng, x_cond=None, y_cond=None,
@@ -264,7 +379,6 @@ class ConditionalAutoregressive2D:
         if not self.x_cond:
             assert x_cond is None
             x_cond = self._default_x_cond(N)
-        x_cond_full = x_cond.shape[1] > 1
 
         dtype = jnp.bfloat16 if fp16 else jnp.float32
         caches = self.transformer.init_cache(params["transformer"], N, dtype,
@@ -272,62 +386,9 @@ class ConditionalAutoregressive2D:
         dec_params = self.transformer.prepare_decode_params(params["transformer"])
 
         # --- prefill: inputs at position s are token s-1 (start token at 0)
-        emb_in = jnp.take(params["x_emb"]["weight"], x_prime[:, :-1], axis=0)
-        emb_in = jnp.concatenate([self._start_emb(params, y_cond, N), emb_in], axis=1)
-        conds = x_cond[:, :P] if x_cond_full else jnp.broadcast_to(
-            x_cond, (N, P, self.width))
-        h_in = emb_in + params["pos_emb"]["pos_emb"][None, :P] + conds
-
-        if self.blocks is not None:
-            bc = self.block_ctx
-            n_chunk_blocks = max(1, (chunk_size or bc) // bc)
-            chunk = n_chunk_blocks * bc
-        else:
-            chunk = max(1, chunk_size or P)
-            n_chunk_blocks = 0  # unused by pure-dense stacks
-        n_chunks = P // chunk
-
-        pred_chunks = []
-
-        if n_chunks > 0:
-            xs = h_in[:, :n_chunks * chunk].reshape(N, n_chunks, chunk, self.width)
-            xs = jnp.moveaxis(xs, 1, 0)  # [n_chunks, N, chunk, W]
-
-            def chunk_step(caches, inp):
-                i, h_chunk = inp
-                t0 = i * chunk
-                h, caches = self.transformer.prefill_chunk(
-                    dec_params, caches, h_chunk, t0, n_chunk_blocks,
-                    encoder_kv=encoder_kv, fp16=fp16)
-                return caches, (h if get_preds else ())
-
-            caches, hs = lax.scan(chunk_step, caches, (jnp.arange(n_chunks), xs))
-            if get_preds:
-                hs = jnp.moveaxis(hs, 0, 1).reshape(N, n_chunks * chunk, self.width)
-                pred_chunks.append(hs)
-
-        tail = P - n_chunks * chunk
-        if tail > 0:
-            tail_in = jnp.moveaxis(h_in[:, n_chunks * chunk:, None], 1, 0)
-
-            def tail_step(caches, inp):
-                t, h_t = inp
-                h, caches = self.transformer.decode_step(
-                    dec_params, caches, h_t, t,
-                    encoder_kv=encoder_kv, fp16=fp16)
-                return caches, (h if get_preds else ())
-
-            caches, hs = lax.scan(
-                tail_step, caches,
-                (n_chunks * chunk + jnp.arange(tail), tail_in))
-            if get_preds:
-                pred_chunks.append(jnp.moveaxis(hs[:, :, 0], 0, 1))
-
-        if get_preds:
-            h_all = jnp.concatenate(pred_chunks, axis=1)
-            if self.add_cond_after_transformer:
-                h_all = h_all + conds
-            prime_preds = self._logits(params, h_all)
+        caches, prime_preds = self._run_prefill(
+            params, dec_params, caches, x_prime, x_cond, y_cond, encoder_kv,
+            fp16, chunk_size, get_preds=get_preds)
 
         # --- generation
         def step(carry, t):

@@ -27,6 +27,22 @@ def _host_device():
         return contextlib.nullcontext()
 
 
+def default_segment_tokens():
+    """Decode-segment length for PriorRuntime.sample. The axon transport
+    (remote-tunnelled TPU) faults on executions beyond ~1 minute, so decoding
+    is bounded to short device calls there; other backends default to the
+    monolithic single-call scan. Override with JUKEBOX_SEGMENT_TOKENS
+    (0 = monolithic)."""
+    env = os.environ.get("JUKEBOX_SEGMENT_TOKENS")
+    if env is not None:
+        v = int(env)
+        return v if v > 0 else None
+    # the axon plugin reports its devices as plain "tpu"; detect via env
+    on_axon = "axon" in os.environ.get("JAX_PLATFORMS", "") \
+        or os.environ.get("PALLAS_AXON_REMOTE_COMPILE")
+    return 512 if on_axon else None
+
+
 MODELS = {
     "5b": ("vqvae", "upsampler_level_0", "upsampler_level_1", "prior_5b"),
     "5b_lyrics": ("vqvae", "upsampler_level_0", "upsampler_level_1", "prior_5b_lyrics"),
@@ -192,6 +208,15 @@ class PriorRuntime:
             model.sample,
             static_argnames=("n_samples", "fp16", "temp", "top_k", "top_p",
                              "chunk_size", "sample_tokens"))
+        self._sample_init = jax.jit(
+            model.sample_init, static_argnames=("n_samples", "fp16",
+                                                "chunk_size"))
+        # caches (arg 1) are donated: each segment consumes the previous
+        # segment's caches in place
+        self._sample_segment = jax.jit(
+            model.sample_segment,
+            static_argnames=("n_steps", "fp16", "temp", "top_k", "top_p"),
+            donate_argnums=(1,))
         self._z_forward = jax.jit(
             model.z_forward, static_argnames=("fp16", "get_preds"))
         self._z_forward_attn = {}  # jitted attn-recording fwd per layer-set
@@ -228,7 +253,7 @@ class PriorRuntime:
 
     def sample(self, n_samples, z=None, z_conds=None, y=None, rng=None,
                fp16=False, temp=1.0, top_k=0, top_p=0.0, chunk_size=None,
-               sample_tokens=None):
+               sample_tokens=None, segment_tokens="auto"):
         rng = rng if rng is not None else jax.random.key(np.random.randint(2**31))
         if y is not None:
             y = jnp.asarray(np.asarray(y))
@@ -236,9 +261,46 @@ class PriorRuntime:
             z = None
         if z_conds is not None:
             z_conds = [jnp.asarray(zc) for zc in z_conds]
+        if segment_tokens == "auto":
+            segment_tokens = default_segment_tokens()
+        if segment_tokens:
+            return self._sample_segmented(
+                n_samples, z, z_conds, y, rng, fp16, temp, top_k, top_p,
+                chunk_size, sample_tokens, segment_tokens)
         return self._sample(self.params, n_samples, rng, z=z, z_conds=z_conds,
                             y=y, fp16=fp16, temp=temp, top_k=top_k, top_p=top_p,
                             chunk_size=chunk_size, sample_tokens=sample_tokens)
+
+    def _sample_segmented(self, n_samples, z, z_conds, y, rng, fp16, temp,
+                          top_k, top_p, chunk_size, sample_tokens,
+                          segment_tokens):
+        """Windowed decode as a host loop over fixed-size token segments:
+        each device call stays short (bounded transport latency, resumable
+        progress) and the segment graph is compiled once and reused across
+        the window and across windows. Token stream is identical to the
+        monolithic path (rng folds on absolute positions)."""
+        model = self.model
+        caches, x_tok, x_cond, y_cond, encoder_kv = self._sample_init(
+            self.params, n_samples, z=z, z_conds=z_conds, y=y, fp16=fp16,
+            chunk_size=chunk_size)
+        t = model.sample_prefix_len(z)
+        total = sample_tokens if sample_tokens is not None else model.n_ctx
+        if model.single_enc_dec:
+            total += model.n_tokens
+        toks = []
+        while t < total:
+            n = min(segment_tokens, total - t)
+            seg, caches, x_tok = self._sample_segment(
+                self.params, caches, x_tok, np.int32(t), n, rng,
+                x_cond=x_cond, y_cond=y_cond, encoder_kv=encoder_kv,
+                fp16=fp16, temp=temp, top_k=top_k, top_p=top_p)
+            toks.append(seg)
+            t += n
+        z_out = model.sample_finish(jnp.concatenate(toks, axis=1), z=z)
+        if sample_tokens is None:
+            assert z_out.shape == (n_samples, *model.z_shape), \
+                f"Expected {(n_samples, *model.z_shape)}, got {z_out.shape}"
+        return z_out
 
     def z_forward(self, z, z_conds=(), y=None, fp16=False, get_preds=False,
                   get_attn_weights=False):

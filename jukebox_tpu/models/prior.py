@@ -295,6 +295,75 @@ class SimplePrior:
             return ws
         return loss, metrics
 
+    # -- segmented sampling ----------------------------------------------------
+    # Device-call-size-bounded sampling: sample_init builds conditioning +
+    # caches + context prefill in one jitted call; sample_segment decodes a
+    # fixed-size token segment (one compiled graph reused across the window
+    # and across windows). fold_in(rng, absolute position) keeps the token
+    # stream identical to the monolithic sample().
+
+    def sample_init(self, params, n_samples, z=None, z_conds=None, y=None,
+                    fp16=False, chunk_size=None):
+        """Returns (caches, x_tok, x_cond, y_cond, encoder_kv). The caller
+        derives the start position from the context shapes (prefix_len)."""
+        no_past_context = z is None or z.shape[1] == 0
+        x_cond, y_cond, prime = self.get_cond(params, z_conds, y)
+        encoder_kv = None
+        if self.single_enc_dec:
+            xs = [prime] if no_past_context else [prime, z]
+            z_in, x_cond = self.prior_preprocess(xs, [None, x_cond])
+            prefill_tokens = z_in
+        else:
+            if prime is not None:
+                encoder_kv = self.get_encoder_kv(params, prime, fp16=fp16)
+            prefill_tokens = None if no_past_context else z
+        prior = self.prior
+        caches = prior.init_decode_caches(params["prior"], n_samples,
+                                          fp16=fp16, encoder_kv=encoder_kv)
+        px_cond = x_cond if prior.x_cond else None
+        if prefill_tokens is not None and prefill_tokens.shape[1] > 0:
+            caches, x_tok = prior.prefill(
+                params["prior"], caches, prefill_tokens.astype(jnp.int32),
+                x_cond=px_cond, y_cond=y_cond, encoder_kv=encoder_kv,
+                fp16=fp16, chunk_size=chunk_size)
+        else:
+            x_tok = jnp.zeros((n_samples, 1), jnp.int32)
+        return caches, x_tok, x_cond, y_cond, encoder_kv
+
+    def sample_prefix_len(self, z=None):
+        """Host-side start position matching sample_init's prefill."""
+        z_len = 0 if z is None else z.shape[1]
+        if self.single_enc_dec:
+            return self.n_tokens + z_len
+        return z_len
+
+    def sample_segment(self, params, caches, x_tok, t0, n_steps, rng,
+                       x_cond=None, y_cond=None, encoder_kv=None, fp16=False,
+                       temp=1.0, top_k=0, top_p=0.0):
+        prior = self.prior
+        px_cond = x_cond if prior.x_cond else None
+        return prior.sample_segment(params["prior"], caches, x_tok, t0,
+                                    n_steps, rng, x_cond=px_cond,
+                                    y_cond=y_cond, encoder_kv=encoder_kv,
+                                    fp16=fp16, temp=temp, top_k=top_k,
+                                    top_p=top_p)
+
+    def sample_finish(self, toks, z=None):
+        """Assemble the final window tokens from the context + decoded
+        segments, mirroring the monolithic sample()'s return contract."""
+        if self.single_enc_dec:
+            # decoded tokens live in the merged vocab; shift the unshifted z
+            # context up like prior_preprocess did, and prepend a lyric-prefix
+            # placeholder (prior_postprocess drops the first prime_loss_dims
+            # tokens, so their values are irrelevant)
+            parts = [] if z is None or z.shape[1] == 0 else \
+                [(z + int(self.prior_bins_shift[1])).astype(toks.dtype)]
+            pad = jnp.zeros((toks.shape[0], self.prime_loss_dims), toks.dtype)
+            full = jnp.concatenate([pad, *parts, toks], axis=1)
+            return self.prior_postprocess(full)
+        parts = [] if z is None or z.shape[1] == 0 else [z.astype(toks.dtype)]
+        return jnp.concatenate([*parts, toks], axis=1)
+
     # -- sampling (prior.py:245-283) ------------------------------------------
 
     def sample(self, params, n_samples, rng, z=None, z_conds=None, y=None,

@@ -187,9 +187,44 @@ class Transformer:
               record_layers=frozenset()):
         """Full-context forward. record_layers: set of layer indices whose
         attention softmax to return (for lyric alignment, transformer.py:146-167).
-        Returns (x, ws list)."""
+        Returns (x, ws list).
+
+        Like decoding, runs of layers with a repeating attn_func pattern fold
+        into a lax.scan over stacked params (decode_plan) — a 72-layer prior
+        traces ~21 layer bodies instead of 72, collapsing train-step compile
+        time. Attention recording falls back to the flat per-layer loop. The
+        train step donates its params, so the stacked copies do not increase
+        steady-state HBM."""
         if fp16:
             x = x.astype(jnp.bfloat16)
+        if not record_layers:
+            seg_params = self._segment_trees(params["blocks"])
+            for seg, p_seg in zip(self.decode_plan, seg_params):
+                if seg[0] == "flat":
+                    cfg = self.block_cfg(seg[1])
+                    enc = encoder_kv if cfg.attn_func == 6 else None
+
+                    def block_fn(p, h, _cfg=cfg, _enc=enc):
+                        return _cfg.apply(p, h, encoder_kv=_enc)[0]
+                    if self.checkpoint_res == 1:
+                        block_fn = jax.checkpoint(block_fn)
+                    x = block_fn(p_seg, x)
+                else:
+                    _, pat, _ = seg
+
+                    def body(h, gp, _pat=pat):
+                        for j, f in enumerate(_pat):
+                            enc = encoder_kv if f == 6 else None
+                            h = self.block_cfg_f(f).apply(
+                                gp[j], h, encoder_kv=enc)[0]
+                        return h, ()
+                    if self.checkpoint_res == 1:
+                        body = jax.checkpoint(body)
+                    x, _ = jax.lax.scan(body, x, p_seg)
+            if not fp16_out:
+                x = x.astype(jnp.float32)
+            return x, []
+
         ws = []
         for d in range(self.n_depth):
             cfg = self.block_cfg(d)

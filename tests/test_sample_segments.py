@@ -1,0 +1,81 @@
+"""Segmented decoding (host loop over fixed-size token segments with carried
+caches) must produce EXACTLY the same tokens as the monolithic single-scan
+sample — the rng folds on absolute positions, so the stream is invariant to
+segmentation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jukebox_tpu.hparams import setup_hparams
+from jukebox_tpu.models.make_models import make_prior, make_vqvae
+
+
+@pytest.fixture(scope="module")
+def vqvae():
+    hps = setup_hparams("teeny", dict(
+        sample_length=512, sr=8000, levels=2, downs_t=(2, 1), strides_t=(2, 2),
+        emb_width=16, l_bins=32, l_mu=0.99, commit=0.02, width=8, depth=1,
+        m_conv=1.0, dilation_growth_rate=1))
+    return make_vqvae(hps)
+
+
+def _single_enc_dec_prior(vqvae):
+    hps = setup_hparams("teeny", dict(
+        sample_length=256, sr=8000, level=1, levels=2, labels=True,
+        labels_v3=True, y_bins=(10, 100), max_bow_genre_size=1, t_bins=16,
+        min_duration=1.0, max_duration=600.0, use_tokens=True, n_tokens=16,
+        n_vocab=79, prime_loss_fraction=0.4, single_enc_dec=True,
+        n_ctx=64, prior_width=32, prior_depth=3, heads=2, attn_order=12,
+        blocks=8, init_scale=0.7))
+    return make_prior(hps, vqvae)
+
+
+def _upsampler_prior(vqvae):
+    hps = setup_hparams("teeny", dict(
+        sample_length=256, sr=8000, level=0, levels=2, labels=False,
+        n_ctx=64, prior_width=32, prior_depth=3, heads=2, attn_order=2,
+        blocks=8, init_scale=0.7, cond_width=16, cond_depth=1,
+        cond_dilation_growth_rate=1, cond_dilation_cycle=None,
+        min_duration=1.0, max_duration=600.0))
+    return make_prior(hps, vqvae)
+
+
+def _labels(prior, bs):
+    metas = [dict(artist="unknown", genre="unknown", lyrics="twinkle twinkle",
+                  total_length=8000 * 60, offset=0)] * bs
+    return prior.get_y(prior.labeller.get_batch_labels(metas), 0)
+
+
+@pytest.mark.parametrize("z_len", [0, 32])
+def test_single_enc_dec_segmented_matches_monolithic(vqvae, z_len):
+    prior = _single_enc_dec_prior(vqvae)
+    bs = 2
+    y = _labels(prior, bs)
+    z = (np.random.RandomState(0).randint(0, 32, (bs, z_len))
+         if z_len else None)
+    kw = dict(n_samples=bs, z=jnp.asarray(z) if z is not None else None,
+              z_conds=None, y=y, rng=jax.random.key(7), fp16=False,
+              temp=0.99, chunk_size=8)
+    ref = prior.sample(segment_tokens=None, **kw)
+    seg = prior.sample(segment_tokens=8, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(seg))
+    if z is not None:
+        np.testing.assert_array_equal(np.asarray(seg[:, :z_len]), z)
+
+
+@pytest.mark.parametrize("z_len,sample_tokens", [(0, None), (32, None),
+                                                 (16, 48)])
+def test_upsampler_segmented_matches_monolithic(vqvae, z_len, sample_tokens):
+    prior = _upsampler_prior(vqvae)
+    bs = 2
+    rs = np.random.RandomState(1)
+    z = jnp.asarray(rs.randint(0, 32, (bs, z_len))) if z_len else None
+    z_conds = [jnp.asarray(rs.randint(0, 32, (bs, 32)))]
+    kw = dict(n_samples=bs, z=z, z_conds=z_conds, y=None,
+              rng=jax.random.key(3), fp16=False, temp=0.99, chunk_size=8,
+              sample_tokens=sample_tokens)
+    ref = prior.sample(segment_tokens=None, **kw)
+    seg = prior.sample(segment_tokens=7, **kw)  # uneven segments
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(seg))
