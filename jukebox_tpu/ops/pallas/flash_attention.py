@@ -2,17 +2,20 @@
 the func-0 layers that otherwise materialise [B, H, L, L] fp32 scores
 (models/attention.py dense_attn; reference factored_attention.py:57-66 runs
 the same O(L^2) einsum). At 1b_lyrics L=6528 the dense scores are ~170 MB per
-(head, batch); this kernel streams K/V blocks through VMEM with an online
-softmax, keeping memory O(L * hd).
+(head, batch); these kernels stream K/V blocks through VMEM with an online
+softmax, keeping memory O(L * hd) in BOTH the forward and backward passes.
 
-Layout: grid (B*H, n_q_blocks, n_kv_blocks) with the kv axis innermost.
-fp32 running max / denominator / accumulator live in VMEM scratch and persist
-across the kv grid steps (TPU grids iterate sequentially, last axis fastest).
-Causal blocks above the diagonal are skipped with pl.when (their K/V DMA
-still runs — acceptable 2x fetch overhead, the compute is what dominates).
+Layout: grids put the streamed axis innermost — (BH, n_q, n_kv) for the
+forward and dq, (BH, n_kv, n_q) for dk/dv — with fp32 accumulators in VMEM
+scratch persisting across the innermost grid steps (TPU grids iterate
+sequentially, last axis fastest). Blocks strictly above the causal diagonal
+are skipped with pl.when (their DMA still runs — an acceptable 2x fetch
+overhead; compute dominates).
 
 Numerics match dense_attn: scores scaled by 1/sqrt(hd) (the reference's
-fused q*s @ k*s trick folded into q), fp32 softmax, output cast to q.dtype.
+fused q*s @ k*s trick folded into q), fp32 softmax, outputs cast to the
+input dtype. The backward recomputes p from the saved per-row logsumexp, the
+standard flash backward.
 """
 
 import functools
@@ -26,30 +29,40 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9  # same additive mask constant as models/attention.py
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                  *, bq, bk, scale):
-    qi = pl.program_id(1)
-    j = pl.program_id(2)
+def _positions(qi, j, bq, bk):
+    q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    kv_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    return q_pos, kv_pos
+
+
+def _scores(q_ref, k_ref, qi, j, bq, bk, scale):
+    """Masked fp32 score block [bq, bk]."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    q_pos, kv_pos = _positions(qi, j, bq, bk)
+    return jnp.where(q_pos >= kv_pos, s, NEG)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, bq, bk, scale):
+    qi, j = pl.program_id(1), pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        m_scr[:] = jnp.full_like(m_scr, NEG)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # causal: kv block j only matters when its first position can be seen by
-    # some query in block qi (j*bk <= qi*bq + bq - 1)
     @pl.when(j * bk <= qi * bq + bq - 1)
     def _block():
-        q = q_ref[0].astype(jnp.float32) * scale          # [bq, hd]
-        k = k_ref[0].astype(jnp.float32)                  # [bk, hd]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [bq, bk]
-        q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        kv_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(q_pos >= kv_pos, s, NEG)
-
+        s = _scores(q_ref, k_ref, qi, j, bq, bk, scale)
         m_prev = m_scr[:]                                 # [bq, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)                            # [bq, bk]
@@ -64,7 +77,171 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     @pl.when(j == nk - 1)
     def _finish():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:] + jnp.log(l_scr[:]))[:, 0]
 
+
+# ---------------------------------------------------------------------------
+# backward: dq streams over kv blocks; dk/dv stream over q blocks
+# ---------------------------------------------------------------------------
+
+def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, dd_ref, dq_ref, dq_scr,
+               *, bq, bk, scale):
+    qi, j = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(j * bk <= qi * bq + bq - 1)
+    def _block():
+        s = _scores(q_ref, k_ref, qi, j, bq, bk, scale)
+        p = jnp.exp(s - lse_ref[0][:, None])              # [bq, bk]
+        g = g_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dd_ref[0][:, None])                # [bq, bk]
+        k = k_ref[0].astype(jnp.float32)
+        dq_scr[:] += scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, dd_ref, dk_ref, dv_ref,
+                dk_scr, dv_scr, *, bq, bk, scale):
+    j, qi = pl.program_id(1), pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(qi * bq + bq - 1 >= j * bk)
+    def _block():
+        s = _scores(q_ref, k_ref, qi, j, bq, bk, scale)
+        p = jnp.exp(s - lse_ref[0][:, None])              # [bq, bk]
+        g = g_ref[0].astype(jnp.float32)
+        dv_scr[:] += jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [bk, hd]
+        v = v_ref[0].astype(jnp.float32)
+        dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dd_ref[0][:, None])                # [bq, bk]
+        q = q_ref[0].astype(jnp.float32)
+        dk_scr[:] += scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [bk, hd]
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# padded-layout custom-vjp core
+# ---------------------------------------------------------------------------
+
+def _vmem(interpret):
+    return pltpu.ANY if interpret else pltpu.VMEM
+
+
+def _fwd_call(qh, kh, vh, bq, bk, scale, interpret):
+    BH, Lp, hdp = qh.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, bq=bq, bk=bk, scale=scale),
+        grid=(BH, Lp // bq, Lp // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, hdp), lambda bh, qi, j: (bh, qi, 0),
+                         memory_space=_vmem(interpret)),
+            pl.BlockSpec((1, bk, hdp), lambda bh, qi, j: (bh, j, 0),
+                         memory_space=_vmem(interpret)),
+            pl.BlockSpec((1, bk, hdp), lambda bh, qi, j: (bh, j, 0),
+                         memory_space=_vmem(interpret)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, hdp), lambda bh, qi, j: (bh, qi, 0)),
+            pl.BlockSpec((1, bq), lambda bh, qi, j: (bh, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Lp, hdp), qh.dtype),
+            jax.ShapeDtypeStruct((BH, Lp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, hdp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, kh, vh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attn_padded(qh, kh, vh, bq, bk, scale, interpret):
+    return _fwd_call(qh, kh, vh, bq, bk, scale, interpret)[0]
+
+
+def _attn_padded_fwd(qh, kh, vh, bq, bk, scale, interpret):
+    out, lse = _fwd_call(qh, kh, vh, bq, bk, scale, interpret)
+    return out, (qh, kh, vh, out, lse)
+
+
+def _attn_padded_bwd(bq, bk, scale, interpret, res, g):
+    qh, kh, vh, out, lse = res
+    BH, Lp, hdp = qh.shape
+    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    qspec = pl.BlockSpec((1, bq, hdp), lambda bh, qi, j: (bh, qi, 0),
+                         memory_space=_vmem(interpret))
+    kspec = pl.BlockSpec((1, bk, hdp), lambda bh, qi, j: (bh, j, 0),
+                         memory_space=_vmem(interpret))
+    rowspec = pl.BlockSpec((1, bq), lambda bh, qi, j: (bh, qi),
+                           memory_space=_vmem(interpret))
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, bq=bq, bk=bk, scale=scale),
+        grid=(BH, Lp // bq, Lp // bk),
+        in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec],
+        out_specs=pl.BlockSpec((1, bq, hdp), lambda bh, qi, j: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Lp, hdp), qh.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, hdp), jnp.float32)],
+        interpret=interpret,
+    )(qh, kh, vh, g, lse, dd)
+
+    # kv-outer layout: q/g/lse/dd blocks indexed by the inner (q) grid axis
+    qspec2 = pl.BlockSpec((1, bq, hdp), lambda bh, j, qi: (bh, qi, 0),
+                          memory_space=_vmem(interpret))
+    kspec2 = pl.BlockSpec((1, bk, hdp), lambda bh, j, qi: (bh, j, 0),
+                          memory_space=_vmem(interpret))
+    rowspec2 = pl.BlockSpec((1, bq), lambda bh, j, qi: (bh, qi),
+                            memory_space=_vmem(interpret))
+    kvout = pl.BlockSpec((1, bk, hdp), lambda bh, j, qi: (bh, j, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, bq=bq, bk=bk, scale=scale),
+        grid=(BH, Lp // bk, Lp // bq),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, rowspec2, rowspec2],
+        out_specs=[kvout, kvout],
+        out_shape=[jax.ShapeDtypeStruct((BH, Lp, hdp), kh.dtype),
+                   jax.ShapeDtypeStruct((BH, Lp, hdp), vh.dtype)],
+        scratch_shapes=[pltpu.VMEM((bk, hdp), jnp.float32),
+                        pltpu.VMEM((bk, hdp), jnp.float32)],
+        interpret=interpret,
+    )(qh, kh, vh, g, lse, dd)
+    return dq, dk, dv
+
+
+_attn_padded.defvjp(_attn_padded_fwd, _attn_padded_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public wrapper (dense_attn layout)
+# ---------------------------------------------------------------------------
 
 def _pad_to(x, axis, mult):
     size = x.shape[axis]
@@ -76,36 +253,11 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_dense_attn(q, k, v, n_head, bq=256, bk=512, interpret=False):
     """Causal dense attention, same contract as dense_attn(q, k, v, n_head,
     causal mask) without weight recording: q,k,v [B, L, n_state] ->
-    [B, L, n_state] in q.dtype. Differentiable: the backward pass recomputes
-    through the XLA dense path (correct gradients; the O(L^2) score buffer
-    returns in the bwd only — a streaming bwd kernel is future work)."""
-    return _flash_impl(q, k, v, n_head, bq, bk, interpret)
-
-
-def _flash_fwd_rule(q, k, v, n_head, bq, bk, interpret):
-    return _flash_impl(q, k, v, n_head, bq, bk, interpret), (q, k, v)
-
-
-def _flash_bwd_rule(n_head, bq, bk, interpret, res, g):
-    from jukebox_tpu.models.attention import _causal_mask, dense_attn
-    q, k, v = res
-    L = q.shape[1]
-
-    def f(q, k, v):
-        return dense_attn(q, k, v, n_head, _causal_mask(L, L, 0))[0]
-
-    return jax.vjp(f, q, k, v)[1](g)
-
-
-flash_dense_attn.defvjp(_flash_fwd_rule, _flash_bwd_rule)
-
-
-@functools.partial(jax.jit, static_argnames=("n_head", "bq", "bk", "interpret"))
-def _flash_impl(q, k, v, n_head, bq=256, bk=512, interpret=False):
+    [B, L, n_state] in q.dtype. Differentiable via streaming flash backward
+    kernels (dq and dk/dv passes)."""
     B, L, S = q.shape
     assert k.shape == v.shape == (B, L, S)
     hd = S // n_head
@@ -129,30 +281,8 @@ def _flash_impl(q, k, v, n_head, bq=256, bk=512, interpret=False):
     qh = _pad_to(qh, 1, lcm)
     kh = _pad_to(kh, 1, lcm)
     vh = _pad_to(vh, 1, lcm)
-    Lp, hdp = qh.shape[1], qh.shape[2]
-    BH = B * n_head
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, bq=bq, bk=bk, scale=scale),
-        grid=(BH, Lp // bq, Lp // bk),
-        in_specs=[
-            pl.BlockSpec((1, bq, hdp), lambda bh, qi, j: (bh, qi, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((1, bk, hdp), lambda bh, qi, j: (bh, j, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((1, bk, hdp), lambda bh, qi, j: (bh, j, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bq, hdp), lambda bh, qi, j: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, Lp, hdp), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, hdp), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qh, kh, vh)
-
+    out = _attn_padded(qh, kh, vh, bq, bk, scale, interpret)
     out = out[:, :L, :hd]
     return (out.reshape(B, n_head, L, hd).transpose(0, 2, 1, 3)
             .reshape(B, L, S))

@@ -103,3 +103,28 @@ def test_flash_dense_attn_causality():
     np.testing.assert_allclose(np.asarray(out1[:, :200]),
                                np.asarray(out2[:, :200]), atol=1e-6)
     assert np.abs(np.asarray(out1[:, 200:]) - np.asarray(out2[:, 200:])).max() > 1e-3
+
+
+def test_flash_dense_attn_grads_match_dense():
+    from jukebox_tpu.models.attention import _causal_mask, dense_attn
+    from jukebox_tpu.ops.pallas.flash_attention import flash_dense_attn
+
+    rs = np.random.RandomState(3)
+    B, L, S, H = 1, 384, 128, 2  # non-multiple L exercises padded grads
+    q = jnp.asarray(rs.randn(B, L, S), jnp.float32)
+    k = jnp.asarray(rs.randn(B, L, S), jnp.float32)
+    v = jnp.asarray(rs.randn(B, L, S), jnp.float32)
+
+    def ref_loss(q, k, v):
+        out, _ = dense_attn(q, k, v, H, _causal_mask(L, L, 0))
+        return jnp.sum(jnp.sin(out))
+
+    def pal_loss(q, k, v):
+        out = flash_dense_attn(q, k, v, H, bq=128, bk=128, interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    pal = jax.grad(pal_loss, argnums=(0, 1, 2))(q, k, v)
+    for r, p, name in zip(ref, pal, "qkv"):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=2e-4,
+                                   err_msg=f"d{name}")
