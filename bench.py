@@ -153,6 +153,7 @@ def main():
     if dev.platform == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
         raise RuntimeError("bench must run on TPU (set BENCH_ALLOW_CPU=1 to override)")
 
+    os.environ.setdefault("JUKEBOX_INIT_CACHE", "1")
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "8"))
     model = os.environ.get("BENCH_MODEL", "1b_lyrics")
     phases = os.environ.get("BENCH_PHASES", "top,up_anc,up_primed").split(",")

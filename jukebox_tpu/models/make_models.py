@@ -27,6 +27,35 @@ def _host_device():
         return contextlib.nullcontext()
 
 
+def _cached_init(model, seed_key, seed):
+    """model.init with an optional on-disk cache (JUKEBOX_INIT_CACHE=1).
+    Eagerly initialising a billion-param model is minutes of tiny host ops;
+    benchmarks and repeated fresh-init runs hit the cache instead. Keyed by
+    the param tree's shapes/dtypes + seed."""
+    if not os.environ.get("JUKEBOX_INIT_CACHE"):
+        return model.init(seed_key)
+    import hashlib
+    import pickle
+    tree = jax.eval_shape(model.init, seed_key)
+    desc = str(jax.tree_util.tree_map(lambda x: (x.shape, str(x.dtype)), tree))
+    h = hashlib.sha1(f"{desc}|{seed}".encode()).hexdigest()[:16]
+    cdir = os.path.expanduser("~/.cache/jukebox_tpu")
+    path = os.path.join(cdir, f"init_{h}.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    params = model.init(seed_key)
+    try:
+        os.makedirs(cdir, exist_ok=True)
+        host = jax.tree_util.tree_map(np.asarray, params)
+        with open(path + ".tmp", "wb") as f:
+            pickle.dump(host, f)
+        os.replace(path + ".tmp", path)
+    except OSError:
+        pass
+    return params
+
+
 def default_segment_tokens():
     """Decode-segment length for PriorRuntime.sample. The axon transport
     (remote-tunnelled TPU) faults on executions beyond ~1 minute, so decoding
@@ -360,7 +389,8 @@ def make_vqvae(hps, device=None):
     # init on host CPU (hundreds of small ops; on a remote-tunnel device each
     # eager op costs a network round-trip), then one bulk device_put
     with _host_device():
-        params = model.init(jax.random.key(hps.get("seed", 0)))
+        seed = hps.get("seed", 0)
+        params = _cached_init(model, jax.random.key(seed), seed)
         state = model.init_state()
     runtime = VQVAERuntime(model, jax.device_put(params), jax.device_put(state))
     restore_model(runtime, hps.restore_vqvae, "vqvae")
@@ -448,7 +478,7 @@ def make_prior(hps, vqvae: VQVAERuntime, device=None):
     # init on host CPU (reference builds priors on CPU, make_models.py:195);
     # billion-param init as eager ops on a tunneled device takes minutes
     with _host_device():
-        params = model.init(seed_key)
+        params = _cached_init(model, seed_key, hps.get("seed", 0) + hps.level + 1)
     if hps.get("train", False):
         params = jax.device_put(params)
     runtime = PriorRuntime(model, params, vqvae)
