@@ -23,7 +23,7 @@ to stderr and bench_details.json.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_N_SAMPLES (default 8), BENCH_MODEL (default 1b_lyrics),
+Env knobs: BENCH_N_SAMPLES (default 16, the reference 1b max_batch_size), BENCH_MODEL (default 1b_lyrics),
 BENCH_BUDGET_S (default 1500), BENCH_PHASES (csv subset of
 top,up_anc,up_primed), BENCH_ALLOW_CPU=1 to run on host CPU.
 """
@@ -154,7 +154,7 @@ def main():
         raise RuntimeError("bench must run on TPU (set BENCH_ALLOW_CPU=1 to override)")
 
     os.environ.setdefault("JUKEBOX_INIT_CACHE", "1")
-    n_samples = int(os.environ.get("BENCH_N_SAMPLES", "8"))
+    n_samples = int(os.environ.get("BENCH_N_SAMPLES", "16"))
     model = os.environ.get("BENCH_MODEL", "1b_lyrics")
     phases = os.environ.get("BENCH_PHASES", "top,up_anc,up_primed").split(",")
 
