@@ -69,16 +69,22 @@ def timed_window(prior, n, rng, z, z_conds, y, chunk_size, sample_tokens=None):
     import jax
     import jax.numpy as jnp
     model = prior.model
+    if prior._staged_dec is not None:
+        call_params, dec = prior._staged_light, prior._staged_dec
+    else:
+        call_params, dec = prior.params, None
 
     t0 = time.time()
-    state = prior._sample_init(prior.params, n, z=z, z_conds=z_conds, y=y,
-                               fp16=True, chunk_size=chunk_size)
+    state = prior._sample_init(call_params, n, z=z, z_conds=z_conds, y=y,
+                               fp16=True, chunk_size=chunk_size,
+                               dec_params=dec)
     caches, x_tok, x_cond, y_cond, encoder_kv = jax.block_until_ready(state)
     t_init1 = time.time() - t0
     # second init call: compile already cached -> prefill exec time
     t0 = time.time()
-    state = prior._sample_init(prior.params, n, z=z, z_conds=z_conds, y=y,
-                               fp16=True, chunk_size=chunk_size)
+    state = prior._sample_init(call_params, n, z=z, z_conds=z_conds, y=y,
+                               fp16=True, chunk_size=chunk_size,
+                               dec_params=dec)
     caches, x_tok, x_cond, y_cond, encoder_kv = jax.block_until_ready(state)
     t_init = time.time() - t0
 
@@ -91,9 +97,9 @@ def timed_window(prior, n, rng, z, z_conds, y, chunk_size, sample_tokens=None):
         n_steps = min(SEGMENT, total - t)
         t0 = time.time()
         seg, caches, x_tok = prior._sample_segment(
-            prior.params, caches, x_tok, np.int32(t), n_steps, rng,
+            call_params, caches, x_tok, np.int32(t), n_steps, rng,
             x_cond=x_cond, y_cond=y_cond, encoder_kv=encoder_kv,
-            fp16=True, temp=0.99, top_k=0, top_p=0.0)
+            fp16=True, temp=0.99, top_k=0, top_p=0.0, dec_params=dec)
         jax.block_until_ready(seg)
         seg_times.append((n_steps, time.time() - t0))
         t += n_steps
@@ -224,7 +230,7 @@ def main():
             prior_names[-1], dict(sample_length=sample_length,
                                   restore_prior="", fp16_params=True)), vqvae)
         prior = top["prior"]
-        prior.to_device()
+        prior.stage_decode()
         total_length = 240 * sr
         metas = [dict(artist="unknown", genre="unknown",
                       lyrics=poems["ozymandias"], total_length=total_length,
@@ -246,7 +252,7 @@ def main():
                                      restore_prior="", fp16_params=True)),
                 vqvae)
             prior = ups["prior"]
-            prior.to_device()
+            prior.stage_decode()
             total_length = 240 * sr
             metas = [dict(artist="unknown", genre="unknown", lyrics="",
                           total_length=total_length, offset=0)] * bs_up

@@ -31,6 +31,7 @@ Three execution modes, all static-shape:
 
 import math
 from dataclasses import dataclass
+import functools
 from functools import lru_cache
 from typing import Optional
 
@@ -104,10 +105,13 @@ def merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(B, L, H * hd)
 
 
-def dense_attn(q, k, v, n_head, mask=None, record=False):
+def dense_attn(q, k, v, n_head, mask=None, record=False, dropout_rng=None,
+               attn_dropout=0.0):
     """q,k,v: [B, L, n_state] (kv may have a different L). mask: [Lq, Lkv]
     or broadcastable; None = attend everywhere. Softmax in fp32, output in
-    q.dtype. Scale uses the reference's fused q*s @ k*s trick (:82-88)."""
+    q.dtype. Scale uses the reference's fused q*s @ k*s trick (:82-88).
+    attn_dropout applies to the softmax weights (reference :106), train
+    only (dropout_rng given)."""
     hd = q.shape[-1] // n_head
     scale = 1.0 / math.sqrt(math.sqrt(hd))
     qh = split_heads(q, n_head) * jnp.asarray(scale, q.dtype)
@@ -119,6 +123,8 @@ def dense_attn(q, k, v, n_head, mask=None, record=False):
         w = w * mask + NEG * (1 - mask)
     w = jax.nn.softmax(w, axis=-1)
     rec = w if record else None
+    from jukebox_tpu.ops.core import dropout
+    w = dropout(w, attn_dropout, dropout_rng)
     a = jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), vh, precision=_PRECISION,
                    preferred_element_type=q.dtype)
     return merge_heads(a), rec
@@ -138,6 +144,8 @@ class FactoredAttention:
     mask: bool = False
     zero_out: bool = False
     init_scale: float = 1.0
+    attn_dropout: float = 0.0
+    resid_dropout: float = 0.0
 
     def __post_init__(self):
         assert self.n_state % self.n_head == 0
@@ -181,34 +189,46 @@ class FactoredAttention:
             q, k, v = jnp.split(dense(params["c_attn"], x), 3, axis=2)
         return q, k, v
 
-    def apply(self, params, x, encoder_kv=None, record=False):
+    def apply(self, params, x, encoder_kv=None, record=False,
+              dropout_rng=None):
         """x: [B, L, n_in] with L == n_ctx (full context). Returns
-        (out [B, L, n_in], attn weights or None)."""
+        (out [B, L, n_in], attn weights or None). dropout_rng enables the
+        reference's train-time attn/resid dropout (factored_attention.py:106,
+        :301)."""
+        from jukebox_tpu.ops.core import dropout
         q, k, v = self._qkv(params, x, encoder_kv)
-        a, w = self._pattern_full(q, k, v, record=record)
+        if dropout_rng is not None:
+            r_attn, r_resid = jax.random.split(dropout_rng)
+        else:
+            r_attn = r_resid = None
+        a, w = self._pattern_full(q, k, v, record=record, dropout_rng=r_attn)
         if record and self.attn_func == 7:
             # keep music queries x lyric keys only (factored_attention.py:101-105)
             w = w[:, :, self.prime_len:, : self.prime_len]
-        return dense(params["c_proj"], a), w
+        return dropout(dense(params["c_proj"], a), self.resid_dropout,
+                       r_resid), w
 
-    def _pattern_full(self, q, k, v, record=False):
+    def _pattern_full(self, q, k, v, record=False, dropout_rng=None):
+        dense_attn_ = functools.partial(dense_attn, dropout_rng=dropout_rng,
+                                        attn_dropout=self.attn_dropout)
         f = self.attn_func
         B, L, S = v.shape
         if f == 0:
             if (self.mask and not record and L >= _FLASH_MIN_CTX
-                    and use_flash_attn()):
+                    and use_flash_attn()
+                    and (dropout_rng is None or self.attn_dropout == 0.0)):
                 from jukebox_tpu.ops.pallas.flash_attention import \
                     flash_dense_attn
                 return flash_dense_attn(q, k, v, self.n_head), None
             mask = _causal_mask(L, L, 0) if self.mask else None
-            return dense_attn(q, k, v, self.n_head, mask, record)
+            return dense_attn_(q, k, v, self.n_head, mask, record)
         if f == 1:
             bc = self.block_ctx
             mask = _causal_mask(bc, bc, 0) if self.mask else None
             qb = q.reshape(B * L // bc, bc, S)
             kb = k.reshape(B * L // bc, bc, S)
             vb = v.reshape(B * L // bc, bc, S)
-            a, w = dense_attn(qb, kb, vb, self.n_head, mask, record)
+            a, w = dense_attn_(qb, kb, vb, self.n_head, mask, record)
             return a.reshape(B, L, S), w
         if f == 2:
             bc = self.block_ctx
@@ -217,7 +237,7 @@ class FactoredAttention:
             def t_(x):
                 return (x.reshape(B, nb, bc, S).transpose(0, 2, 1, 3)
                         .reshape(B * bc, nb, S))
-            a, w = dense_attn(t_(q), t_(k), t_(v), self.n_head, mask, record)
+            a, w = dense_attn_(t_(q), t_(k), t_(v), self.n_head, mask, record)
             a = a.reshape(B, bc, nb, S).transpose(0, 2, 1, 3).reshape(B, L, S)
             return a, w
         if f == 3:
@@ -229,7 +249,7 @@ class FactoredAttention:
                     [jnp.zeros_like(xb[:, :1]), xb[:, :-1]], axis=1
                 ).reshape(B * nb, bc, S)
             qb = q.reshape(B * nb, bc, S)
-            a, w = dense_attn(qb, shift(k), shift(v), self.n_head, None, record)
+            a, w = dense_attn_(qb, shift(k), shift(v), self.n_head, None, record)
             return a.reshape(B, L, S), w
         if f in (4, 5):
             blocks = self.blocks
@@ -240,13 +260,13 @@ class FactoredAttention:
                 xb = jnp.pad(xb, ((0, 0), (1, 0), (0, 0), (0, 0)))
                 return xb.reshape(B, blocks * spread, S)
             mask = _summary_mask(L, blocks, spread) if self.mask else None
-            return dense_attn(q, summarize(k), summarize(v), self.n_head, mask, record)
+            return dense_attn_(q, summarize(k), summarize(v), self.n_head, mask, record)
         if f == 6:
-            return dense_attn(q, k, v, self.n_head, None, record)
+            return dense_attn_(q, k, v, self.n_head, None, record)
         if f == 7:
             pl_ = self._prime_len
             mask = _causal_mask(q.shape[1], pl_, 0) if self.mask else None
-            return dense_attn(q, k[:, :pl_], v[:, :pl_], self.n_head, mask, record)
+            return dense_attn_(q, k[:, :pl_], v[:, :pl_], self.n_head, mask, record)
         raise NotImplementedError(f"attn_func {f}")
 
     # -- KV cache -------------------------------------------------------------

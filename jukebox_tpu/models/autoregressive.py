@@ -19,6 +19,7 @@ from jax import lax
 
 from jukebox_tpu.models.transformer import Transformer
 from jukebox_tpu.ops.core import dense_init, filter_logits
+from jukebox_tpu.ops.core import dropout as ops_dropout
 
 LN2 = float(np.log(2.0))
 
@@ -58,6 +59,9 @@ class ConditionalAutoregressive2D:
     checkpoint_res: int = 0
     checkpoint_attn: int = 0
     checkpoint_mlp: int = 0
+    attn_dropout: float = 0.0
+    resid_dropout: float = 0.0
+    emb_dropout: float = 0.0
 
     @property
     def input_dims(self):
@@ -82,7 +86,8 @@ class ConditionalAutoregressive2D:
             mask=self.mask, zero_out=self.zero_out, init_scale=self.init_scale,
             res_scale=self.res_scale, afn="quick_gelu",
             checkpoint_attn=self.checkpoint_attn, checkpoint_mlp=self.checkpoint_mlp,
-            checkpoint_res=self.checkpoint_res)
+            checkpoint_res=self.checkpoint_res,
+            attn_dropout=self.attn_dropout, resid_dropout=self.resid_dropout)
 
     @property
     def block_ctx(self):
@@ -133,7 +138,7 @@ class ConditionalAutoregressive2D:
 
     def forward(self, params, x, x_cond=None, y_cond=None, encoder_kv=None,
                 fp16=False, get_preds=False, get_acts=False, get_sep_loss=False,
-                record_layers=frozenset()):
+                record_layers=frozenset(), dropout_rng=None):
         N, D = x.shape
         assert D == self.input_dims
         if self.x_cond:
@@ -146,11 +151,22 @@ class ConditionalAutoregressive2D:
         emb = jnp.take(params["x_emb"]["weight"], x, axis=0)
         # shift right by one; position 0 becomes start/y_cond embedding
         emb = jnp.concatenate([self._start_emb(params, y_cond, N), emb[:, :-1]], axis=1)
-        h = emb + params["pos_emb"]["pos_emb"][None] + x_cond
+        pos = params["pos_emb"]["pos_emb"][None]
+        r_tr = None
+        if dropout_rng is not None and self.emb_dropout > 0.0:
+            # separate token/pos embedding dropout (reference :147)
+            r_emb, r_pos, r_tr = jax.random.split(dropout_rng, 3)
+            emb = ops_dropout(emb, self.emb_dropout, r_emb)
+            pos = ops_dropout(jnp.broadcast_to(pos, (N, *pos.shape[1:])),
+                              self.emb_dropout, r_pos)
+        elif dropout_rng is not None:
+            r_tr = dropout_rng
+        h = emb + pos + x_cond
 
         h, ws = self.transformer.apply(params["transformer"], h,
                                        encoder_kv=encoder_kv, fp16=fp16,
-                                       record_layers=record_layers)
+                                       record_layers=record_layers,
+                                       dropout_rng=r_tr)
         if self.add_cond_after_transformer:
             h = h + x_cond
 
@@ -220,15 +236,18 @@ class ConditionalAutoregressive2D:
 
     def sample_segment(self, params, caches, x_tok, t0, n_steps, rng,
                        x_cond=None, y_cond=None, encoder_kv=None, fp16=False,
-                       temp=1.0, top_k=0, top_p=0.0):
+                       temp=1.0, top_k=0, top_p=0.0, dec_params=None):
         """Decode `n_steps` (static) tokens starting at traced position t0.
         x_tok: [N, 1] previous token (ignored at t=0 where the start/y_cond
-        embedding is used). Returns (tokens [N, n_steps], caches, x_tok)."""
+        embedding is used). Returns (tokens [N, n_steps], caches, x_tok).
+        dec_params: pre-staged segment-shaped transformer params (zero-copy
+        staging); derived from params["transformer"] when absent."""
         N = x_tok.shape[0]
         if not self.x_cond:
             assert x_cond is None
             x_cond = self._default_x_cond(N)
-        dec_params = self.transformer.prepare_decode_params(params["transformer"])
+        if dec_params is None:
+            dec_params = self.transformer.prepare_decode_params(params["transformer"])
 
         def step(carry, t):
             caches, x_tok, rng = carry
@@ -244,13 +263,16 @@ class ConditionalAutoregressive2D:
         return toks[:, :, 0].T, caches, x_tok
 
     def init_decode_caches(self, params, n_samples, fp16=False,
-                           encoder_kv=None):
+                           encoder_kv=None, dec_params=None):
         dtype = jnp.bfloat16 if fp16 else jnp.float32
+        if dec_params is not None:
+            return self.transformer.init_cache_from_segments(
+                dec_params, n_samples, dtype, encoder_kv=encoder_kv)
         return self.transformer.init_cache(params["transformer"], n_samples,
                                            dtype, encoder_kv=encoder_kv)
 
     def prefill(self, params, caches, x_prime, x_cond=None, y_cond=None,
-                encoder_kv=None, fp16=False, chunk_size=None):
+                encoder_kv=None, fp16=False, chunk_size=None, dec_params=None):
         """Fill `caches` with positions [0, P) from x_prime [N, P] (the
         prefill half of primed_sample). Returns (caches, x_tok) ready for
         sample_segment at t0=P."""
@@ -258,7 +280,8 @@ class ConditionalAutoregressive2D:
         if not self.x_cond:
             assert x_cond is None
             x_cond = self._default_x_cond(N)
-        dec_params = self.transformer.prepare_decode_params(params["transformer"])
+        if dec_params is None:
+            dec_params = self.transformer.prepare_decode_params(params["transformer"])
         caches = self._run_prefill(params, dec_params, caches, x_prime, x_cond,
                                    y_cond, encoder_kv, fp16, chunk_size)[0]
         return caches, x_prime[:, -1:].astype(jnp.int32)

@@ -249,12 +249,31 @@ class PriorRuntime:
         self._z_forward = jax.jit(
             model.z_forward, static_argnames=("fp16", "get_preds"))
         self._z_forward_attn = {}  # jitted attn-recording fwd per layer-set
+        self._staged_light = self._staged_dec = None
 
     def to_host(self):
         self.params = jax.tree_util.tree_map(np.asarray, self.params)
+        self._staged_light = self._staged_dec = None
 
     def to_device(self):
         self.params = jax.device_put(self.params)
+
+    def stage_decode(self):
+        """Stage the SAMPLING form on device: segment-stacked transformer
+        params (stacked host-side with numpy) plus the remaining 'light'
+        params. Zero-copy: the raw per-layer transformer weights never exist
+        on device, so billion-param decode fits HBM without the transient
+        duplicate (at 5B scale the duplicate alone exceeds a v5e chip)."""
+        host = jax.tree_util.tree_map(np.asarray, self.params)
+        tr = host["prior"]["transformer"]
+        dec = self.model.prior.transformer.prepare_decode_params(
+            tr, stack=np.stack)
+        light = dict(host)
+        light["prior"] = {k: v for k, v in host["prior"].items()
+                          if k != "transformer"}
+        self._staged_light = jax.device_put(light)
+        self._staged_dec = jax.device_put(dec)
+        self.params = host  # raw stays host-resident
 
     # mirrored attributes
     def __getattr__(self, name):
@@ -309,9 +328,13 @@ class PriorRuntime:
         the window and across windows. Token stream is identical to the
         monolithic path (rng folds on absolute positions)."""
         model = self.model
+        if self._staged_dec is not None:
+            call_params, dec = self._staged_light, self._staged_dec
+        else:
+            call_params, dec = self.params, None
         caches, x_tok, x_cond, y_cond, encoder_kv = self._sample_init(
-            self.params, n_samples, z=z, z_conds=z_conds, y=y, fp16=fp16,
-            chunk_size=chunk_size)
+            call_params, n_samples, z=z, z_conds=z_conds, y=y, fp16=fp16,
+            chunk_size=chunk_size, dec_params=dec)
         t = model.sample_prefix_len(z)
         total = sample_tokens if sample_tokens is not None else model.n_ctx
         if model.single_enc_dec:
@@ -320,9 +343,10 @@ class PriorRuntime:
         while t < total:
             n = min(segment_tokens, total - t)
             seg, caches, x_tok = self._sample_segment(
-                self.params, caches, x_tok, np.int32(t), n, rng,
+                call_params, caches, x_tok, np.int32(t), n, rng,
                 x_cond=x_cond, y_cond=y_cond, encoder_kv=encoder_kv,
-                fp16=fp16, temp=temp, top_k=top_k, top_p=top_p)
+                fp16=fp16, temp=temp, top_k=top_k, top_p=top_p,
+                dec_params=dec)
             toks.append(seg)
             t += n
         z_out = model.sample_finish(jnp.concatenate(toks, axis=1), z=z)
@@ -413,10 +437,6 @@ def make_vqvae(hps, device=None):
 
 
 def make_prior(hps, vqvae: VQVAERuntime, device=None):
-    assert hps.get("attn_dropout", 0.0) == 0.0 and hps.get("resid_dropout", 0.0) == 0.0 \
-        and hps.get("emb_dropout", 0.0) == 0.0, \
-        "dropout is not implemented (all released configs use 0.0)"
-
     train = hps.get("train", False)
     prior_kwargs = dict(
         input_shape=(hps.n_ctx,), bins=vqvae.l_bins,
@@ -424,6 +444,9 @@ def make_prior(hps, vqvae: VQVAERuntime, device=None):
         attn_order=hps.attn_order, blocks=hps.blocks, spread=hps.spread,
         zero_out=hps.zero_out, res_scale=hps.res_scale, pos_init=hps.pos_init,
         init_scale=hps.init_scale, m_attn=hps.m_attn, m_mlp=hps.m_mlp,
+        attn_dropout=hps.attn_dropout if train else 0.0,
+        resid_dropout=hps.resid_dropout if train else 0.0,
+        emb_dropout=hps.emb_dropout if train else 0.0,
         checkpoint_res=hps.c_res if train else 0,
         checkpoint_attn=hps.c_attn if train else 0,
         checkpoint_mlp=hps.c_mlp if train else 0)
@@ -452,6 +475,9 @@ def make_prior(hps, vqvae: VQVAERuntime, device=None):
             res_scale=hps.prime_res_scale, pos_init=hps.prime_pos_init,
             init_scale=hps.prime_init_scale, m_attn=hps.prime_m_attn,
             m_mlp=hps.prime_m_mlp,
+            attn_dropout=hps.prime_attn_dropout if train else 0.0,
+            resid_dropout=hps.prime_resid_dropout if train else 0.0,
+            emb_dropout=hps.prime_emb_dropout if train else 0.0,
             checkpoint_res=hps.prime_c_res if train else 0,
             checkpoint_attn=hps.prime_c_attn if train else 0,
             checkpoint_mlp=hps.prime_c_mlp if train else 0)

@@ -32,14 +32,8 @@ class SimplePrior:
                  prior_kwargs, x_cond_kwargs, y_cond_kwargs, prime_kwargs,
                  copy_input=False, labels_v3=False, merged_decoder=False,
                  single_enc_dec=False):
-        def _strip_dropout(kw):
-            for key in ("attn_dropout", "resid_dropout", "emb_dropout"):
-                assert kw.pop(key, 0.0) == 0.0, \
-                    "dropout is not implemented (all released configs use 0.0)"
-            return kw
-
-        prime_kwargs = _strip_dropout(dict(prime_kwargs))
-        prior_kwargs = _strip_dropout(dict(prior_kwargs))
+        prime_kwargs = dict(prime_kwargs)
+        prior_kwargs = dict(prior_kwargs)
         self.use_tokens = prime_kwargs.pop("use_tokens")
         self.n_tokens = prime_kwargs.pop("n_tokens")
         self.prime_loss_fraction = prime_kwargs.pop("prime_loss_fraction")
@@ -231,10 +225,11 @@ class SimplePrior:
 
     # -- lyric encoder (sep enc-dec; prior.py:285-310) ------------------------
 
-    def get_encoder_kv(self, params, prime, fp16=False):
+    def get_encoder_kv(self, params, prime, fp16=False, dropout_rng=None):
         if self.n_tokens != 0 and self.use_tokens:
             prime_acts = self.prime_prior.forward(params["prime_prior"], prime,
-                                                  fp16=fp16)
+                                                  fp16=fp16,
+                                                  dropout_rng=dropout_rng)
             encoder_kv = layer_norm(params["prime_state_ln"],
                                     dense(params["prime_state_proj"], prime_acts))
             if fp16:
@@ -253,10 +248,15 @@ class SimplePrior:
     # -- training forward (prior.py:312-344) ----------------------------------
 
     def z_forward(self, params, z, z_conds=(), y=None, fp16=False,
-                  get_preds=False, get_attn_weights=frozenset()):
+                  get_preds=False, get_attn_weights=frozenset(),
+                  dropout_rng=None):
         assert isinstance(get_attn_weights, (bool, set, frozenset))
         record_layers = (frozenset(get_attn_weights)
                          if not isinstance(get_attn_weights, bool) else frozenset())
+        if dropout_rng is not None:
+            dropout_rng, r_prime = jax.random.split(dropout_rng)
+        else:
+            r_prime = None
         x_cond, y_cond, prime = self.get_cond(params, z_conds, y)
         if self.copy_input:
             prime = z[:, : self.n_tokens]
@@ -266,19 +266,22 @@ class SimplePrior:
             out = self.prior.forward(params["prior"], z_all, x_cond=x_cond_all,
                                      y_cond=y_cond, fp16=fp16, get_sep_loss=True,
                                      get_preds=get_preds,
-                                     record_layers=record_layers)
+                                     record_layers=record_layers,
+                                     dropout_rng=dropout_rng)
             if record_layers:
                 (prime_loss, gen_loss), preds, ws = out
             else:
                 (prime_loss, gen_loss), preds = out
         else:
-            encoder_kv = self.get_encoder_kv(params, prime, fp16=fp16)
+            encoder_kv = self.get_encoder_kv(params, prime, fp16=fp16,
+                                             dropout_rng=r_prime)
             prime_loss = self.get_prime_loss(params, encoder_kv, prime) \
                 if prime is not None else jnp.zeros(())
             out = self.prior.forward(params["prior"], z, x_cond=x_cond,
                                      y_cond=y_cond, encoder_kv=encoder_kv,
                                      fp16=fp16, get_preds=get_preds,
-                                     record_layers=record_layers)
+                                     record_layers=record_layers,
+                                     dropout_rng=dropout_rng)
             if record_layers:
                 gen_loss, preds, ws = out
             else:
@@ -303,9 +306,12 @@ class SimplePrior:
     # stream identical to the monolithic sample().
 
     def sample_init(self, params, n_samples, z=None, z_conds=None, y=None,
-                    fp16=False, chunk_size=None):
+                    fp16=False, chunk_size=None, dec_params=None):
         """Returns (caches, x_tok, x_cond, y_cond, encoder_kv). The caller
-        derives the start position from the context shapes (prefix_len)."""
+        derives the start position from the context shapes (prefix_len).
+        dec_params: pre-staged segment-shaped transformer params — when
+        given, params may omit prior.transformer entirely (zero-copy
+        staging for billion-param decode)."""
         no_past_context = z is None or z.shape[1] == 0
         x_cond, y_cond, prime = self.get_cond(params, z_conds, y)
         encoder_kv = None
@@ -319,13 +325,14 @@ class SimplePrior:
             prefill_tokens = None if no_past_context else z
         prior = self.prior
         caches = prior.init_decode_caches(params["prior"], n_samples,
-                                          fp16=fp16, encoder_kv=encoder_kv)
+                                          fp16=fp16, encoder_kv=encoder_kv,
+                                          dec_params=dec_params)
         px_cond = x_cond if prior.x_cond else None
         if prefill_tokens is not None and prefill_tokens.shape[1] > 0:
             caches, x_tok = prior.prefill(
                 params["prior"], caches, prefill_tokens.astype(jnp.int32),
                 x_cond=px_cond, y_cond=y_cond, encoder_kv=encoder_kv,
-                fp16=fp16, chunk_size=chunk_size)
+                fp16=fp16, chunk_size=chunk_size, dec_params=dec_params)
         else:
             x_tok = jnp.zeros((n_samples, 1), jnp.int32)
         return caches, x_tok, x_cond, y_cond, encoder_kv
@@ -339,14 +346,14 @@ class SimplePrior:
 
     def sample_segment(self, params, caches, x_tok, t0, n_steps, rng,
                        x_cond=None, y_cond=None, encoder_kv=None, fp16=False,
-                       temp=1.0, top_k=0, top_p=0.0):
+                       temp=1.0, top_k=0, top_p=0.0, dec_params=None):
         prior = self.prior
         px_cond = x_cond if prior.x_cond else None
         return prior.sample_segment(params["prior"], caches, x_tok, t0,
                                     n_steps, rng, x_cond=px_cond,
                                     y_cond=y_cond, encoder_kv=encoder_kv,
                                     fp16=fp16, temp=temp, top_k=top_k,
-                                    top_p=top_p)
+                                    top_p=top_p, dec_params=dec_params)
 
     def sample_finish(self, toks, z=None):
         """Assemble the final window tokens from the context + decoded

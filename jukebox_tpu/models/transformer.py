@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from jukebox_tpu.models.attention import FactoredAttention
-from jukebox_tpu.ops.core import ACT_FNS, dense, dense_init, layer_norm, layer_norm_init
+from jukebox_tpu.ops.core import (ACT_FNS, dense, dense_init, dropout,
+                                  layer_norm, layer_norm_init)
 
 # depth -> attn_func schedules (reference transformer.py:111-126)
 ATTN_ORDERS = {
@@ -48,6 +49,7 @@ class MLP:
     afn: str = "quick_gelu"
     zero_out: bool = False
     init_scale: float = 1.0
+    resid_dropout: float = 0.0
 
     def init(self, rng):
         r1, r2 = jax.random.split(rng)
@@ -55,9 +57,10 @@ class MLP:
                 "c_proj": dense_init(r2, self.n_state, self.n_in, self.init_scale,
                                      zero_out=self.zero_out)}
 
-    def apply(self, params, x):
+    def apply(self, params, x, dropout_rng=None):
         m = ACT_FNS[self.afn](dense(params["c_fc"], x))
-        return dense(params["c_proj"], m)
+        return dropout(dense(params["c_proj"], m), self.resid_dropout,
+                       dropout_rng)
 
 
 @dataclass(frozen=True)
@@ -79,6 +82,8 @@ class ResAttnBlock:
     afn: str = "quick_gelu"
     checkpoint_attn: int = 0
     checkpoint_mlp: int = 0
+    attn_dropout: float = 0.0
+    resid_dropout: float = 0.0
 
     @property
     def attn(self):
@@ -88,28 +93,39 @@ class ResAttnBlock:
             spread=self.spread, encoder_dims=self.encoder_dims,
             prime_len=self.prime_len, mask=self.mask,
             zero_out=self.zero_out if self.attn_func != 6 else True,
-            init_scale=self.init_scale)
+            init_scale=self.init_scale, attn_dropout=self.attn_dropout,
+            resid_dropout=self.resid_dropout)
 
     @property
     def mlp(self):
         return MLP(n_in=self.n_in, n_state=int(self.m_mlp * self.n_in),
-                   afn=self.afn, zero_out=self.zero_out, init_scale=self.init_scale)
+                   afn=self.afn, zero_out=self.zero_out,
+                   init_scale=self.init_scale,
+                   resid_dropout=self.resid_dropout)
 
     def init(self, rng):
         r1, r2 = jax.random.split(rng)
         return {"attn": self.attn.init(r1), "ln_0": layer_norm_init(self.n_in),
                 "mlp": self.mlp.init(r2), "ln_1": layer_norm_init(self.n_in)}
 
-    def apply(self, params, x, encoder_kv=None, record=False):
+    def apply(self, params, x, encoder_kv=None, record=False,
+              dropout_rng=None):
+        if dropout_rng is not None:
+            r_attn, r_mlp = jax.random.split(dropout_rng)
+        else:
+            r_attn = r_mlp = None
+
         def attn_fn(p, h):
             return self.attn.apply(p, layer_norm(params["ln_0"], h),
-                                   encoder_kv=encoder_kv, record=record)
+                                   encoder_kv=encoder_kv, record=record,
+                                   dropout_rng=r_attn)
         if self.checkpoint_attn and not record:
             attn_fn = jax.checkpoint(attn_fn)
         a, w = attn_fn(params["attn"], x)
 
         def mlp_fn(p, h):
-            return self.mlp.apply(p, layer_norm(params["ln_1"], h))
+            return self.mlp.apply(p, layer_norm(params["ln_1"], h),
+                                  dropout_rng=r_mlp)
         if self.checkpoint_mlp:
             mlp_fn = jax.checkpoint(mlp_fn)
         m = mlp_fn(params["mlp"], x + a)
@@ -164,6 +180,8 @@ class Transformer:
     checkpoint_attn: int = 0
     checkpoint_mlp: int = 0
     checkpoint_res: int = 0
+    attn_dropout: float = 0.0
+    resid_dropout: float = 0.0
 
     def attn_func(self, d):
         return ATTN_ORDERS[self.attn_order](d)
@@ -177,14 +195,15 @@ class Transformer:
             zero_out=self.zero_out, init_scale=self.init_scale,
             res_scale=(1.0 / self.n_depth) if self.res_scale else 1.0,
             afn=self.afn, checkpoint_attn=self.checkpoint_attn,
-            checkpoint_mlp=self.checkpoint_mlp)
+            checkpoint_mlp=self.checkpoint_mlp,
+            attn_dropout=self.attn_dropout, resid_dropout=self.resid_dropout)
 
     def init(self, rng):
         rngs = jax.random.split(rng, self.n_depth)
         return {"blocks": [self.block_cfg(d).init(rngs[d]) for d in range(self.n_depth)]}
 
     def apply(self, params, x, encoder_kv=None, fp16=False, fp16_out=False,
-              record_layers=frozenset()):
+              record_layers=frozenset(), dropout_rng=None):
         """Full-context forward. record_layers: set of layer indices whose
         attention softmax to return (for lyric alignment, transformer.py:146-167).
         Returns (x, ws list).
@@ -197,42 +216,64 @@ class Transformer:
         steady-state HBM."""
         if fp16:
             x = x.astype(jnp.bfloat16)
+        drop = dropout_rng is not None and (self.attn_dropout > 0
+                                            or self.resid_dropout > 0)
         if not record_layers:
+            layer_keys = (jax.random.split(dropout_rng, self.n_depth)
+                          if drop else None)
             seg_params = self._segment_trees(params["blocks"])
             for seg, p_seg in zip(self.decode_plan, seg_params):
                 if seg[0] == "flat":
-                    cfg = self.block_cfg(seg[1])
+                    d = seg[1]
+                    cfg = self.block_cfg(d)
                     enc = encoder_kv if cfg.attn_func == 6 else None
+                    key = layer_keys[d] if drop else None
 
-                    def block_fn(p, h, _cfg=cfg, _enc=enc):
-                        return _cfg.apply(p, h, encoder_kv=_enc)[0]
+                    def block_fn(p, h, _cfg=cfg, _enc=enc, _key=key):
+                        return _cfg.apply(p, h, encoder_kv=_enc,
+                                          dropout_rng=_key)[0]
                     if self.checkpoint_res == 1:
                         block_fn = jax.checkpoint(block_fn)
                     x = block_fn(p_seg, x)
                 else:
-                    _, pat, _ = seg
+                    _, pat, starts = seg
+                    # per-(group, position) dropout keys ride as scan inputs
+                    if drop:
+                        gkeys = jnp.stack(
+                            [jnp.stack([layer_keys[s + j]
+                                        for j in range(len(pat))])
+                             for s in starts])
+                        xs = (p_seg, gkeys)
+                    else:
+                        xs = (p_seg, None)
 
-                    def body(h, gp, _pat=pat):
+                    def body(h, inp, _pat=pat):
+                        gp, gk = inp
                         for j, f in enumerate(_pat):
                             enc = encoder_kv if f == 6 else None
+                            key = gk[j] if gk is not None else None
                             h = self.block_cfg_f(f).apply(
-                                gp[j], h, encoder_kv=enc)[0]
+                                gp[j], h, encoder_kv=enc, dropout_rng=key)[0]
                         return h, ()
                     if self.checkpoint_res == 1:
                         body = jax.checkpoint(body)
-                    x, _ = jax.lax.scan(body, x, p_seg)
+                    x, _ = jax.lax.scan(body, x, xs)
             if not fp16_out:
                 x = x.astype(jnp.float32)
             return x, []
 
         ws = []
+        layer_keys = (jax.random.split(dropout_rng, self.n_depth)
+                      if drop else None)
         for d in range(self.n_depth):
             cfg = self.block_cfg(d)
             record = d in record_layers
             enc = encoder_kv if cfg.attn_func == 6 else None
+            key = layer_keys[d] if drop else None
 
-            def block_fn(p, h, _cfg=cfg, _enc=enc, _rec=record):
-                return _cfg.apply(p, h, encoder_kv=_enc, record=_rec)
+            def block_fn(p, h, _cfg=cfg, _enc=enc, _rec=record, _key=key):
+                return _cfg.apply(p, h, encoder_kv=_enc, record=_rec,
+                                  dropout_rng=_key)
             if self.checkpoint_res == 1 and not record:
                 block_fn = jax.checkpoint(block_fn)
             x, w = block_fn(params["blocks"][d], x)
@@ -264,7 +305,8 @@ class Transformer:
             zero_out=self.zero_out, init_scale=self.init_scale,
             res_scale=(1.0 / self.n_depth) if self.res_scale else 1.0,
             afn=self.afn, checkpoint_attn=self.checkpoint_attn,
-            checkpoint_mlp=self.checkpoint_mlp)
+            checkpoint_mlp=self.checkpoint_mlp,
+            attn_dropout=self.attn_dropout, resid_dropout=self.resid_dropout)
 
     @property
     def decode_plan(self):
@@ -305,10 +347,14 @@ class Transformer:
                 i += L * r
         return tuple(segs)
 
-    def _segment_trees(self, per_layer):
+    def _segment_trees(self, per_layer, stack=None):
         """Group a per-layer list of pytrees by decode_plan: flat segments
         keep the layer's tree; scan segments hold, per pattern position, the
-        groups' trees stacked along a new leading axis."""
+        groups' trees stacked along a new leading axis. `stack` defaults to
+        jnp.stack; pass np.stack to build the stacked layout host-side
+        (zero-copy staging: at 5B scale an on-device duplicate of the
+        weights does not fit HBM)."""
+        stack_ = stack if stack is not None else jnp.stack
         out = []
         for seg in self.decode_plan:
             if seg[0] == "flat":
@@ -317,17 +363,55 @@ class Transformer:
                 _, pat, starts = seg
                 out.append(tuple(
                     jax.tree_util.tree_map(
-                        lambda *xs: jnp.stack(xs),
+                        lambda *xs: stack_(xs),
                         *[per_layer[s + j] for s in starts])
                     for j in range(len(pat))))
         return out
 
-    def prepare_decode_params(self, params):
+    def prepare_decode_params(self, params, stack=None):
         """Stack scan-segment layer params once per sampling call (outside
-        the token scan, so the stacked copies are loop-invariant). NOTE: the
-        stacked copies temporarily duplicate the scanned layers' weights in
-        HBM; at 5B scale shard params over `mp` before sampling."""
-        return self._segment_trees(params["blocks"])
+        the token scan, so the stacked copies are loop-invariant), or once on
+        the host when staging (stack=np.stack)."""
+        return self._segment_trees(params["blocks"], stack=stack)
+
+    def init_cache_from_segments(self, dec_params, bs, dtype, encoder_kv=None,
+                                 sample_ctx=None):
+        """Build decode caches directly from segment-shaped params (so raw
+        per-layer params never need to exist on device)."""
+        out = []
+        for seg, p_seg in zip(self.decode_plan, dec_params):
+            if seg[0] == "flat":
+                cfg = self.block_cfg(seg[1])
+                enc = encoder_kv if cfg.attn_func == 6 else None
+                out.append(cfg.attn.init_cache(p_seg["attn"], bs, dtype,
+                                               encoder_kv=enc,
+                                               sample_ctx=sample_ctx))
+            else:
+                _, pat, _ = seg
+                caches = []
+                for j, f in enumerate(pat):
+                    attn = self.block_cfg_f(f).attn
+                    if f == 6:
+                        # per-group encoder K/V projections, vmapped over the
+                        # stacked group axis
+                        caches.append(jax.vmap(
+                            lambda p: attn.init_cache(p, bs, dtype,
+                                                      encoder_kv=encoder_kv,
+                                                      sample_ctx=sample_ctx))(
+                            p_seg[j]["attn"]))
+                    else:
+                        # ring caches are zeros — params only matter for f6
+                        n_groups = jax.tree_util.tree_leaves(
+                            p_seg[j])[0].shape[0]
+                        one = attn.init_cache(
+                            jax.tree_util.tree_map(lambda x: x[0],
+                                                   p_seg[j])["attn"],
+                            bs, dtype, sample_ctx=sample_ctx)
+                        caches.append(jax.tree_util.tree_map(
+                            lambda c: jnp.zeros((n_groups, *c.shape),
+                                                c.dtype), one))
+                out.append(tuple(caches))
+        return out
 
     def init_cache(self, params, bs, dtype, encoder_kv=None, sample_ctx=None):
         per_layer = []

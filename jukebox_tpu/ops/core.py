@@ -167,6 +167,16 @@ def embedding_init(rng, bins, width, std=0.02):
     return {"weight": std * jax.random.normal(rng, (bins, width), dtype=jnp.float32)}
 
 
+def dropout(x, rate, rng):
+    """Inverted dropout (torch nn.Dropout semantics: zero w.p. rate, scale
+    kept values by 1/(1-rate)). Identity when rate == 0 or rng is None
+    (eval / decode paths never pass an rng)."""
+    if rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def embedding(params, ids, dtype=None):
     w = params["weight"]
     if dtype is not None:

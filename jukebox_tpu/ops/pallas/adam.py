@@ -16,13 +16,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _adam_kernel(s_ref, p_ref, g_ref, m_ref, v_ref,
                  p_out, m_out, v_out, *, beta1, beta2, eps, weight_decay):
-    lr, scale, step = s_ref[0], s_ref[1], s_ref[2]
+    # step_size (incl. bias correction) is precomputed outside the kernel:
+    # Mosaic has no scalar powf
+    step_size, scale = s_ref[0], s_ref[1]
     g = g_ref[:].astype(jnp.float32) / scale
     m = beta1 * m_ref[:] + (1.0 - beta1) * g
     v = beta2 * v_ref[:] + (1.0 - beta2) * g * g
-    bias1 = 1.0 - beta1 ** step
-    bias2 = 1.0 - beta2 ** step
-    step_size = lr * jnp.sqrt(bias2) / bias1
     p = p_ref[:].astype(jnp.float32)
     p = p - step_size * (m / (jnp.sqrt(v) + eps) + weight_decay * p)
     p_out[:] = p.astype(p_out.dtype)
@@ -30,24 +29,29 @@ def _adam_kernel(s_ref, p_ref, g_ref, m_ref, v_ref,
     v_out[:] = v
 
 
+_LANES = 1024
+_BLOCK_ROWS = 256  # 7 buffers x 1 MB stays well under the 16 MB VMEM
+
+
 def _leaf_update(p, g, m, v, scalars, beta1, beta2, eps, weight_decay,
                  interpret):
     shape = p.shape
     n = p.size
-    # pad to a lane-aligned 2D tile
-    pad = (-n) % 1024
-    pp, gg, mm, vv = (jnp.pad(t.reshape(-1), (0, pad)).reshape(-1, 1024)
+    # pad to a lane-aligned 2D tile, then grid over row blocks (a whole
+    # billion-param leaf cannot sit in VMEM at once)
+    pad = (-n) % (_LANES * _BLOCK_ROWS)
+    pp, gg, mm, vv = (jnp.pad(t.reshape(-1), (0, pad)).reshape(-1, _LANES)
                       for t in (p.astype(jnp.float32), g.astype(jnp.float32), m, v))
+    rows = pp.shape[0]
+    bm = min(_BLOCK_ROWS, rows)
+    tile = pl.BlockSpec((bm, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
     new_p, new_m, new_v = pl.pallas_call(
         functools.partial(_adam_kernel, beta1=beta1, beta2=beta2, eps=eps,
                           weight_decay=weight_decay),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-        ],
+        grid=(rows // bm,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), tile, tile, tile, tile],
+        out_specs=[pl.BlockSpec((bm, _LANES), lambda i: (i, 0))] * 3,
         out_shape=[jax.ShapeDtypeStruct(pp.shape, p.dtype),
                    jax.ShapeDtypeStruct(pp.shape, jnp.float32),
                    jax.ShapeDtypeStruct(pp.shape, jnp.float32)],
@@ -61,9 +65,11 @@ def adam_update_pallas(params, grads, opt_state, lr, beta1, beta2, eps,
                        weight_decay, scale=1.0, interpret=False):
     """Drop-in replacement for utils.train_utils.adam_update."""
     step = opt_state["step"] + 1
-    scalars = jnp.stack([jnp.asarray(lr, jnp.float32),
-                         jnp.asarray(scale, jnp.float32),
-                         step.astype(jnp.float32)])
+    stepf = step.astype(jnp.float32)
+    bias1 = 1.0 - jnp.asarray(beta1, jnp.float32) ** stepf
+    bias2 = 1.0 - jnp.asarray(beta2, jnp.float32) ** stepf
+    step_size = jnp.asarray(lr, jnp.float32) * jnp.sqrt(bias2) / bias1
+    scalars = jnp.stack([step_size, jnp.asarray(scale, jnp.float32)])
     flat_p, treedef = jax.tree_util.tree_flatten(params)
     flat_g = treedef.flatten_up_to(grads)
     flat_m = treedef.flatten_up_to(opt_state["m"])

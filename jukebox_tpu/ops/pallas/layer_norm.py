@@ -25,16 +25,16 @@ def _fwd_kernel(x_ref, g_ref, b_ref, o_ref, mu_ref, rs_ref, *, eps):
     rstd = jax.lax.rsqrt(var + eps)
     y = xc * rstd * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
     o_ref[:] = y.astype(o_ref.dtype)
-    mu_ref[:] = mu[:, 0]
-    rs_ref[:] = rstd[:, 0]
+    mu_ref[:] = mu           # [bn, 1] — Mosaic requires 2-D tiled outputs
+    rs_ref[:] = rstd
 
 
 def _bwd_kernel(x_ref, g_ref, mu_ref, rs_ref, dy_ref, dx_ref, dg_ref, db_ref):
     x = x_ref[:].astype(jnp.float32)
     dy = dy_ref[:].astype(jnp.float32)
     g = g_ref[:].astype(jnp.float32)
-    mu = mu_ref[:][:, None]
-    rstd = rs_ref[:][:, None]
+    mu = mu_ref[:]
+    rstd = rs_ref[:]
     xhat = (x - mu) * rstd
     wdy = dy * g
     c1 = jnp.mean(xhat * wdy, axis=-1, keepdims=True)
@@ -77,13 +77,13 @@ def _fwd(x, g, b, eps, interpret):
         ],
         out_specs=[
             pl.BlockSpec((bn, D), lambda i: (i, 0)),
-            pl.BlockSpec((bn,), lambda i: (i,)),
-            pl.BlockSpec((bn,), lambda i: (i,)),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, D), x.dtype),
-            jax.ShapeDtypeStruct((N,), jnp.float32),
-            jax.ShapeDtypeStruct((N,), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
         ],
         interpret=interpret,
     )(x2, g, b)
@@ -110,8 +110,8 @@ def _bwd_rule(eps, interpret, res, dy):
         in_specs=[
             pl.BlockSpec((bn, D), lambda i: (i, 0)),
             pl.BlockSpec((D,), lambda i: (0,)),
-            pl.BlockSpec((bn,), lambda i: (i,)),
-            pl.BlockSpec((bn,), lambda i: (i,)),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0)),
+            pl.BlockSpec((bn, 1), lambda i: (i, 0)),
             pl.BlockSpec((bn, D), lambda i: (i, 0)),
         ],
         out_specs=[

@@ -107,8 +107,9 @@ def _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps, rng=None):
     alignments = None
     for level in reversed(sample_levels):
         prior = priors[level]
-        if hasattr(prior, "to_device"):
-            prior.to_device()  # one level's weights in HBM at a time
+        if hasattr(prior, "stage_decode"):
+            # one level's weights in HBM at a time, staged in decode form
+            prior.stage_decode()
         assert hps.sample_length % prior.raw_to_tokens == 0, \
             f"sample_length {hps.sample_length} not a multiple of {prior.raw_to_tokens}"
         total_length = hps.sample_length // prior.raw_to_tokens

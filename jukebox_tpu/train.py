@@ -84,7 +84,7 @@ def make_prior_train_step(runtime, hps, lr_fn):
                                  x, start_level=prior.level)
             z, z_conds = zs[0], zs[1:]
             loss, metrics = prior.z_forward(params, z, z_conds=z_conds, y=y,
-                                            fp16=hps.fp16)
+                                            fp16=hps.fp16, dropout_rng=rng)
             return loss * loss_scale, (loss, metrics)
 
         (_, (loss, metrics)), grads = jax.value_and_grad(

@@ -26,6 +26,13 @@ def timeit(fn, *args, n=20):
     return out, (time.perf_counter() - t0) / n
 
 
+def _dump(results):
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PALLAS_CHIP.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -38,7 +45,7 @@ def main():
     print("device:", dev, flush=True)
     results = {"device": str(dev)}
 
-    from jukebox_tpu.models.attention import _causal_mask, dense_attn
+    from jukebox_tpu.models.attention import dense_attn
     from jukebox_tpu.ops.core import layer_norm
     from jukebox_tpu.ops.pallas.adam import adam_update_pallas
     from jukebox_tpu.ops.pallas.flash_attention import flash_dense_attn
@@ -59,6 +66,7 @@ def main():
     err = float(jnp.max(jnp.abs(ref - pal)))
     results["layer_norm"] = dict(xla_ms=t_ref * 1e3, pallas_ms=t_pal * 1e3,
                                  max_err=err)
+    _dump(results)
     print(f"layer_norm: xla {t_ref*1e3:.3f}ms pallas {t_pal*1e3:.3f}ms "
           f"err {err:.2e}", flush=True)
 
@@ -77,6 +85,7 @@ def main():
     err = max(float(jnp.max(jnp.abs(p1[k] - p2[k]))) for k in params)
     results["adam"] = dict(xla_ms=t_ref * 1e3, pallas_ms=t_pal * 1e3,
                            max_err=err)
+    _dump(results)
     print(f"adam: xla {t_ref*1e3:.3f}ms pallas {t_pal*1e3:.3f}ms err {err:.2e}",
           flush=True)
 
@@ -86,8 +95,11 @@ def main():
         q = jnp.asarray(rs.randn(B, L, S), dtype)
         k = jnp.asarray(rs.randn(B, L, S), dtype)
         v = jnp.asarray(rs.randn(B, L, S), dtype)
+        # in-graph mask: a 6528^2 trace-time constant exceeds the remote
+        # compile transport's request size limit
         ref_fn = jax.jit(
-            lambda q, k, v: dense_attn(q, k, v, H, _causal_mask(L, L, 0))[0])
+            lambda q, k, v: dense_attn(
+                q, k, v, H, jnp.tril(jnp.ones((L, L), jnp.float32)))[0])
         pal_fn = jax.jit(lambda q, k, v: flash_dense_attn(q, k, v, H))
         ref, t_ref = timeit(ref_fn, q, k, v, n=5)
         pal, t_pal = timeit(pal_fn, q, k, v, n=5)
@@ -96,13 +108,12 @@ def main():
         results[f"flash_attn_{dtype}"] = dict(
             xla_ms=t_ref * 1e3, pallas_ms=t_pal * 1e3, max_err=err,
             speedup=round(t_ref / t_pal, 2))
+        _dump(results)
         print(f"flash_attn {dtype}: xla {t_ref*1e3:.1f}ms pallas "
               f"{t_pal*1e3:.1f}ms err {err:.2e} "
               f"({t_ref/t_pal:.2f}x)", flush=True)
 
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "PALLAS_CHIP.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    _dump(results)
     print(json.dumps(results, indent=1))
 
 

@@ -79,3 +79,47 @@ def test_upsampler_segmented_matches_monolithic(vqvae, z_len, sample_tokens):
     ref = prior.sample(segment_tokens=None, **kw)
     seg = prior.sample(segment_tokens=7, **kw)  # uneven segments
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(seg))
+
+
+def test_staged_decode_matches_unstaged(vqvae):
+    """stage_decode (host-stacked transformer params, no raw weights on
+    device) must produce the identical token stream."""
+    prior = _single_enc_dec_prior(vqvae)
+    bs = 2
+    y = _labels(prior, bs)
+    z = jnp.asarray(np.random.RandomState(2).randint(0, 32, (bs, 32)))
+    kw = dict(n_samples=bs, z=z, z_conds=None, y=y, rng=jax.random.key(9),
+              fp16=False, temp=0.99, chunk_size=8)
+    ref = prior.sample(segment_tokens=8, **kw)
+    assert prior._staged_dec is None
+    prior.stage_decode()
+    assert prior._staged_dec is not None
+    staged = prior.sample(segment_tokens=8, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(staged))
+    prior.to_host()
+    assert prior._staged_dec is None
+
+
+def test_staged_decode_cross_attn(vqvae):
+    """Staged decode with a separate lyric encoder: f6 caches built from the
+    stacked segment params (vmapped encoder K/V projections)."""
+    hps = setup_hparams("teeny", dict(
+        sample_length=256, sr=8000, level=1, levels=2, labels=True,
+        labels_v3=True, y_bins=(10, 100), max_bow_genre_size=1, t_bins=16,
+        min_duration=1.0, max_duration=600.0, use_tokens=True, n_tokens=16,
+        n_vocab=79, prime_loss_fraction=0.4,
+        n_ctx=64, prior_width=32, prior_depth=10, heads=2, attn_order=8,
+        blocks=8, init_scale=0.7, prime_width=16, prime_depth=2,
+        prime_heads=1, prime_attn_order=0, prime_blocks=4,
+        prime_init_scale=0.7))
+    prior = make_prior(hps, vqvae)
+    funcs = [prior.model.prior.transformer.attn_func(d) for d in range(10)]
+    assert 6 in funcs
+    bs = 2
+    y = _labels(prior, bs)
+    kw = dict(n_samples=bs, z=None, z_conds=None, y=y, rng=jax.random.key(4),
+              fp16=False, temp=0.99, chunk_size=8)
+    ref = prior.sample(segment_tokens=None, **kw)
+    prior.stage_decode()
+    staged = prior.sample(segment_tokens=8, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(staged))
