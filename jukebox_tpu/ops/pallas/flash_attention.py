@@ -77,7 +77,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     @pl.when(j == nk - 1)
     def _finish():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:] + jnp.log(l_scr[:]))[:, 0]
+        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])   # [bq, 1]
 
 
 # ---------------------------------------------------------------------------
@@ -96,12 +96,12 @@ def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, dd_ref, dq_ref, dq_scr,
     @pl.when(j * bk <= qi * bq + bq - 1)
     def _block():
         s = _scores(q_ref, k_ref, qi, j, bq, bk, scale)
-        p = jnp.exp(s - lse_ref[0][:, None])              # [bq, bk]
+        p = jnp.exp(s - lse_ref[0])                       # [bq, bk]
         g = g_ref[0].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32)
         dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - dd_ref[0][:, None])                # [bq, bk]
+        ds = p * (dp - dd_ref[0])                         # [bq, bk]
         k = k_ref[0].astype(jnp.float32)
         dq_scr[:] += scale * jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
@@ -125,7 +125,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, dd_ref, dk_ref, dv_ref,
     @pl.when(qi * bq + bq - 1 >= j * bk)
     def _block():
         s = _scores(q_ref, k_ref, qi, j, bq, bk, scale)
-        p = jnp.exp(s - lse_ref[0][:, None])              # [bq, bk]
+        p = jnp.exp(s - lse_ref[0])                       # [bq, bk]
         g = g_ref[0].astype(jnp.float32)
         dv_scr[:] += jax.lax.dot_general(
             p, g, (((0,), (0,)), ((), ())),
@@ -133,7 +133,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, dd_ref, dk_ref, dv_ref,
         v = v_ref[0].astype(jnp.float32)
         dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - dd_ref[0][:, None])                # [bq, bk]
+        ds = p * (dp - dd_ref[0])                         # [bq, bk]
         q = q_ref[0].astype(jnp.float32)
         dk_scr[:] += scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
@@ -168,11 +168,13 @@ def _fwd_call(qh, kh, vh, bq, bk, scale, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, bq, hdp), lambda bh, qi, j: (bh, qi, 0)),
-            pl.BlockSpec((1, bq), lambda bh, qi, j: (bh, qi)),
+            # row stats as (BH, Lp, 1): TPU lowering needs the trailing dims
+            # (8, 128)-divisible or equal to the array dims
+            pl.BlockSpec((1, bq, 1), lambda bh, qi, j: (bh, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Lp, hdp), qh.dtype),
-            jax.ShapeDtypeStruct((BH, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Lp, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -196,13 +198,14 @@ def _attn_padded_fwd(qh, kh, vh, bq, bk, scale, interpret):
 def _attn_padded_bwd(bq, bk, scale, interpret, res, g):
     qh, kh, vh, out, lse = res
     BH, Lp, hdp = qh.shape
-    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+                 keepdims=True)
 
     qspec = pl.BlockSpec((1, bq, hdp), lambda bh, qi, j: (bh, qi, 0),
                          memory_space=_vmem(interpret))
     kspec = pl.BlockSpec((1, bk, hdp), lambda bh, qi, j: (bh, j, 0),
                          memory_space=_vmem(interpret))
-    rowspec = pl.BlockSpec((1, bq), lambda bh, qi, j: (bh, qi),
+    rowspec = pl.BlockSpec((1, bq, 1), lambda bh, qi, j: (bh, qi, 0),
                            memory_space=_vmem(interpret))
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, bq=bq, bk=bk, scale=scale),
@@ -219,7 +222,7 @@ def _attn_padded_bwd(bq, bk, scale, interpret, res, g):
                           memory_space=_vmem(interpret))
     kspec2 = pl.BlockSpec((1, bk, hdp), lambda bh, j, qi: (bh, j, 0),
                           memory_space=_vmem(interpret))
-    rowspec2 = pl.BlockSpec((1, bq), lambda bh, j, qi: (bh, qi),
+    rowspec2 = pl.BlockSpec((1, bq, 1), lambda bh, j, qi: (bh, qi, 0),
                             memory_space=_vmem(interpret))
     kvout = pl.BlockSpec((1, bk, hdp), lambda bh, j, qi: (bh, j, 0))
     dk, dv = pl.pallas_call(
