@@ -23,7 +23,7 @@ to stderr and bench_details.json.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_N_SAMPLES (default 16, the reference 1b max_batch_size), BENCH_MODEL (default 1b_lyrics),
+Env knobs: BENCH_N_SAMPLES (default 8; 16 OOMs the upsampler segment graph on one v5e), BENCH_MODEL (default 1b_lyrics),
 BENCH_BUDGET_S (default 1500), BENCH_PHASES (csv subset of
 top,up_anc,up_primed), BENCH_ALLOW_CPU=1 to run on host CPU.
 """
@@ -100,10 +100,13 @@ def timed_window(prior, n, rng, z, z_conds, y, chunk_size, sample_tokens=None):
             call_params, caches, x_tok, np.int32(t), n_steps, rng,
             x_cond=x_cond, y_cond=y_cond, encoder_kv=encoder_kv,
             fp16=True, temp=0.99, top_k=0, top_p=0.0, dec_params=dec)
-        jax.block_until_ready(seg)
+        # materialise on host: a device->host copy cannot be faked by async
+        # readiness and surfaces deferred execution faults immediately
+        seg_host = np.asarray(seg)
         seg_times.append((n_steps, time.time() - t0))
         t += n_steps
-        log(f"  segment @{t}/{total}: {seg_times[-1][1]:.1f}s")
+        log(f"  segment @{t}/{total}: {seg_times[-1][1]:.1f}s "
+            f"(tok[0,:3]={seg_host[0, :3].tolist()})")
     steady = seg_times[1:] if len(seg_times) > 1 else seg_times
     toks = sum(s for s, _ in steady)
     secs = sum(dt for _, dt in steady)
@@ -160,7 +163,7 @@ def main():
         raise RuntimeError("bench must run on TPU (set BENCH_ALLOW_CPU=1 to override)")
 
     os.environ.setdefault("JUKEBOX_INIT_CACHE", "1")
-    n_samples = int(os.environ.get("BENCH_N_SAMPLES", "16"))
+    n_samples = int(os.environ.get("BENCH_N_SAMPLES", "8"))
     model = os.environ.get("BENCH_MODEL", "1b_lyrics")
     phases = os.environ.get("BENCH_PHASES", "top,up_anc,up_primed").split(",")
 

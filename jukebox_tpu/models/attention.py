@@ -223,7 +223,13 @@ class FactoredAttention:
                 from jukebox_tpu.ops.pallas.flash_attention import \
                     flash_dense_attn
                 return flash_dense_attn(q, k, v, self.n_head), None
-            mask = _causal_mask(L, L, 0) if self.mask else None
+            if self.mask:
+                # in-graph beyond 2048^2: a large trace-time mask constant
+                # bloats the HLO (and exceeds remote-compile size limits)
+                mask = (_causal_mask(L, L, 0) if L <= 2048
+                        else jnp.tril(jnp.ones((L, L), jnp.float32)))
+            else:
+                mask = None
             return dense_attn_(q, k, v, self.n_head, mask, record)
         if f == 1:
             bc = self.block_ctx
