@@ -16,8 +16,10 @@ import numpy as np
 
 def _have_av():
     try:
-        import av  # noqa: F401
-        return True
+        import av
+        # a stub module (e.g. injected so the torch reference imports in the
+        # parity tests) is not a usable decoder
+        return hasattr(av, "open")
     except ImportError:
         return False
 
