@@ -78,9 +78,12 @@ def timed_window(prior, n, rng, z, z_conds, y, chunk_size, sample_tokens=None):
     state = prior._sample_init(call_params, n, z=z, z_conds=z_conds, y=y,
                                fp16=True, chunk_size=chunk_size,
                                dec_params=dec)
-    caches, x_tok, x_cond, y_cond, encoder_kv = jax.block_until_ready(state)
+    jax.block_until_ready(state)
     t_init1 = time.time() - t0
-    # second init call: compile already cached -> prefill exec time
+    # second init call: compile already cached -> prefill exec time. Free the
+    # first call's state FIRST: two live cache sets (5 GiB each at 1b/bs=16)
+    # would not fit HBM alongside the staged weights.
+    del state
     t0 = time.time()
     state = prior._sample_init(call_params, n, z=z, z_conds=z_conds, y=y,
                                fp16=True, chunk_size=chunk_size,

@@ -318,83 +318,124 @@ class FactoredAttention:
             shape = (bs, self.cache_len(sample_ctx), S)
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
-    def _write_token(self, cache, k, v, t):
-        """Write one token's K/V (k,v: [B, 1, S]) at position t."""
+    @staticmethod
+    def _dus(buf, val, starts, g):
+        """dynamic_update_slice with an optional leading group index g. When
+        g is given, buf is group-stacked [G, ...] and the write lands at
+        (g, *starts) — an in-place one-token update of the stacked buffer
+        carried through the layer-group scan (no full-cache ys copy)."""
+        if g is None:
+            return lax.dynamic_update_slice(buf, val, starts)
+        return lax.dynamic_update_slice(buf, val[None], (g, *starts))
+
+    @staticmethod
+    def _dsl(buf, starts, sizes, g):
+        """dynamic_slice with an optional leading group index g."""
+        if g is None:
+            return lax.dynamic_slice(buf, starts, sizes)
+        return lax.dynamic_slice(buf, (g, *starts), (1, *sizes))[0]
+
+    def _group_view(self, buf, g):
+        """The [B, ...] cache of group g from a stacked [G, B, ...] buffer
+        (identity when g is None)."""
+        if g is None:
+            return buf
+        return self._dsl(buf, (0,) * (buf.ndim - 1), buf.shape[1:], g)
+
+    def _write_token(self, cache, k, v, t, g=None):
+        """Write one token's K/V (k,v: [B, 1, S]) at position t. With g, the
+        cache leaves are group-stacked [G, ...] and the write is an in-place
+        update at group g."""
         f = self.attn_func
         bc = self.block_ctx if self.blocks else None
         if f == 0:
-            return {"k": lax.dynamic_update_slice(cache["k"], k, (0, t, 0)),
-                    "v": lax.dynamic_update_slice(cache["v"], v, (0, t, 0))}
+            return {"k": self._dus(cache["k"], k, (0, t, 0), g),
+                    "v": self._dus(cache["v"], v, (0, t, 0), g)}
         if f == 1:
             s = t % bc
-            return {"k": lax.dynamic_update_slice(cache["k"], k, (0, s, 0)),
-                    "v": lax.dynamic_update_slice(cache["v"], v, (0, s, 0))}
+            return {"k": self._dus(cache["k"], k, (0, s, 0), g),
+                    "v": self._dus(cache["v"], v, (0, s, 0), g)}
         if f == 2:
             c, b = t % bc, t // bc
             k4 = k[:, :, None, :]
             v4 = v[:, :, None, :]
-            return {"k": lax.dynamic_update_slice(cache["k"], k4, (0, c, b, 0)),
-                    "v": lax.dynamic_update_slice(cache["v"], v4, (0, c, b, 0))}
+            return {"k": self._dus(cache["k"], k4, (0, c, b, 0), g),
+                    "v": self._dus(cache["v"], v4, (0, c, b, 0), g)}
         if f == 3:
             ring, c = (t // bc) % 2, t % bc
             start = ring * bc + c
-            return {"k": lax.dynamic_update_slice(cache["k"], k, (0, start, 0)),
-                    "v": lax.dynamic_update_slice(cache["v"], v, (0, start, 0))}
+            return {"k": self._dus(cache["k"], k, (0, start, 0), g),
+                    "v": self._dus(cache["v"], v, (0, start, 0), g)}
         if f == 4:
             # only block-final tokens become summaries; slot 0 stays the
             # zero pad (summary_attn sample path, factored_attention.py:198-201)
             is_last = (t % bc) == (bc - 1)
             idx = jnp.where(is_last, 1 + t // bc, self.blocks + 2)
-            return {"k": cache["k"].at[:, idx].set(k[:, 0], mode="drop"),
-                    "v": cache["v"].at[:, idx].set(v[:, 0], mode="drop")}
+            if g is None:
+                return {"k": cache["k"].at[:, idx].set(k[:, 0], mode="drop"),
+                        "v": cache["v"].at[:, idx].set(v[:, 0], mode="drop")}
+            return {"k": cache["k"].at[g, :, idx].set(k[:, 0], mode="drop"),
+                    "v": cache["v"].at[g, :, idx].set(v[:, 0], mode="drop")}
         if f == 6:
             return cache
         if f == 7:
             pl_ = self._prime_len
             idx = jnp.where(t < pl_, t, pl_ + 1)  # out-of-range -> dropped
-            return {"k": cache["k"].at[:, idx].set(k[:, 0], mode="drop"),
-                    "v": cache["v"].at[:, idx].set(v[:, 0], mode="drop")}
+            if g is None:
+                return {"k": cache["k"].at[:, idx].set(k[:, 0], mode="drop"),
+                        "v": cache["v"].at[:, idx].set(v[:, 0], mode="drop")}
+            return {"k": cache["k"].at[g, :, idx].set(k[:, 0], mode="drop"),
+                    "v": cache["v"].at[g, :, idx].set(v[:, 0], mode="drop")}
         raise NotImplementedError(f"attn_func {f} decode")
 
-    def decode_step(self, params, cache, x, t, encoder_kv=None):
+    def decode_step(self, params, cache, x, t, encoder_kv=None, g=None):
         """One-token incremental decode. x: [B, 1, n_in], t: traced scalar
-        position. Returns (out [B, 1, n_in], cache)."""
+        position. Returns (out [B, 1, n_in], cache).
+
+        g: optional traced group index — cache leaves are group-stacked
+        [G, ...] buffers carried through the layer-group scan; reads slice
+        out only what the pattern attends to and writes update one token in
+        place (the alternative — streaming caches through scan xs/ys — copies
+        every cache in full every token)."""
         f = self.attn_func
+        B = x.shape[0]
+        S = self.n_state
         if f == 6:
             # encoder K/V were projected once in init_cache; only the query
             # is computed per token (the reference caches them the same way,
             # factored_attention.py:246-253)
             q = dense(params["c_attn"], x)
-            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, None)
+            a, _ = dense_attn(q, self._group_view(cache["k"], g),
+                              self._group_view(cache["v"], g), self.n_head, None)
             return dense(params["c_proj"], a), cache
         q, k, v = self._qkv(params, x, None)
-        cache = self._write_token(cache, k, v, t)
+        cache = self._write_token(cache, k, v, t, g)
         bc = self.block_ctx if self.blocks else None
 
         if f == 0:
-            L = cache["k"].shape[1]
+            L = cache["k"].shape[-2]
             slots = jnp.arange(L)[None, :]
             mask = (slots <= t).astype(jnp.float32)
-            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
+            a, _ = dense_attn(q, self._group_view(cache["k"], g),
+                              self._group_view(cache["v"], g), self.n_head, mask)
         elif f == 1:
             slots = jnp.arange(bc)[None, :]
             mask = (slots <= t % bc).astype(jnp.float32)
-            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
+            a, _ = dense_attn(q, self._group_view(cache["k"], g),
+                              self._group_view(cache["v"], g), self.n_head, mask)
         elif f == 2:
             c = t % bc
-            kr = lax.dynamic_slice(cache["k"], (0, c, 0, 0),
-                                   (q.shape[0], 1, self.blocks, self.n_state))[:, 0]
-            vr = lax.dynamic_slice(cache["v"], (0, c, 0, 0),
-                                   (q.shape[0], 1, self.blocks, self.n_state))[:, 0]
+            kr = self._dsl(cache["k"], (0, c, 0, 0), (B, 1, self.blocks, S),
+                           g)[:, 0]
+            vr = self._dsl(cache["v"], (0, c, 0, 0), (B, 1, self.blocks, S),
+                           g)[:, 0]
             slots = jnp.arange(self.blocks)[None, :]
             mask = (slots <= t // bc).astype(jnp.float32)
             a, _ = dense_attn(q, kr, vr, self.n_head, mask)
         elif f == 3:
             prev_ring = ((t // bc) - 1) % 2
-            kr = lax.dynamic_slice(cache["k"], (0, prev_ring * bc, 0),
-                                   (q.shape[0], bc, self.n_state))
-            vr = lax.dynamic_slice(cache["v"], (0, prev_ring * bc, 0),
-                                   (q.shape[0], bc, self.n_state))
+            kr = self._dsl(cache["k"], (0, prev_ring * bc, 0), (B, bc, S), g)
+            vr = self._dsl(cache["v"], (0, prev_ring * bc, 0), (B, bc, S), g)
             # first block: ring slot 1 is still zeros -> uniform attn over
             # zero values = 0, same as the reference's zero K/V (:179-181)
             a, _ = dense_attn(q, kr, vr, self.n_head, None)
@@ -405,12 +446,14 @@ class FactoredAttention:
             slots = jnp.arange(self.blocks + 1)[None, :]
             hi = jnp.minimum((t + 1) // bc, self.blocks - 1)
             mask = (slots <= hi).astype(jnp.float32)
-            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
+            a, _ = dense_attn(q, self._group_view(cache["k"], g),
+                              self._group_view(cache["v"], g), self.n_head, mask)
         elif f == 7:
             pl_ = self._prime_len
             slots = jnp.arange(pl_)[None, :]
             mask = (slots <= jnp.minimum(t, pl_ - 1)).astype(jnp.float32)
-            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
+            a, _ = dense_attn(q, self._group_view(cache["k"], g),
+                              self._group_view(cache["v"], g), self.n_head, mask)
         else:
             raise NotImplementedError(f"attn_func {f} decode")
 
@@ -418,28 +461,32 @@ class FactoredAttention:
 
     # -- chunked prefill ------------------------------------------------------
 
-    def prefill_chunk(self, params, cache, x, t0, n_blocks, encoder_kv=None):
+    def prefill_chunk(self, params, cache, x, t0, n_blocks, encoder_kv=None,
+                      g=None):
         """Prefill the cache with a block-aligned chunk.
 
         x: [B, C, n_in] with C = n_blocks * block_ctx (or arbitrary C for
         funcs 0/6/7); t0: traced start position, multiple of block_ctx.
-        Returns (out [B, C, n_in], cache).
+        Returns (out [B, C, n_in], cache). g: optional group index into
+        stacked [G, ...] cache buffers (see decode_step).
         """
         f = self.attn_func
         if f == 6:
             q = dense(params["c_attn"], x)
-            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, None)
+            a, _ = dense_attn(q, self._group_view(cache["k"], g),
+                              self._group_view(cache["v"], g), self.n_head, None)
             return dense(params["c_proj"], a), cache
         q, k, v = self._qkv(params, x, None)
         B, C, S = v.shape
         bc = self.block_ctx if self.blocks else None
 
         if f == 0:
-            cache = {"k": lax.dynamic_update_slice(cache["k"], k, (0, t0, 0)),
-                     "v": lax.dynamic_update_slice(cache["v"], v, (0, t0, 0))}
-            L = cache["k"].shape[1]
+            cache = {"k": self._dus(cache["k"], k, (0, t0, 0), g),
+                     "v": self._dus(cache["v"], v, (0, t0, 0), g)}
+            L = cache["k"].shape[-2]
             mask = (jnp.arange(L)[None, :] <= (t0 + jnp.arange(C))[:, None])
-            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head,
+            a, _ = dense_attn(q, self._group_view(cache["k"], g),
+                              self._group_view(cache["v"], g), self.n_head,
                               mask.astype(jnp.float32))
         elif f == 1:
             assert C == n_blocks * bc
@@ -450,22 +497,26 @@ class FactoredAttention:
             a, _ = dense_attn(qb, kb, vb, self.n_head, mask)
             a = a.reshape(B, C, S)
             # only the final block's K/V matters for future steps
-            cache = {"k": k[:, -bc:], "v": v[:, -bc:]}
+            if g is None:
+                cache = {"k": k[:, -bc:], "v": v[:, -bc:]}
+            else:
+                cache = {"k": self._dus(cache["k"], k[:, -bc:], (0, 0, 0), g),
+                         "v": self._dus(cache["v"], v[:, -bc:], (0, 0, 0), g)}
         elif f == 2:
             assert C == n_blocks * bc
             b0 = t0 // bc
             # write chunk columns into [bc, blocks] layout
             kcol = k.reshape(B, n_blocks, bc, S).transpose(0, 2, 1, 3)
             vcol = v.reshape(B, n_blocks, bc, S).transpose(0, 2, 1, 3)
-            cache = {"k": lax.dynamic_update_slice(cache["k"], kcol, (0, 0, b0, 0)),
-                     "v": lax.dynamic_update_slice(cache["v"], vcol, (0, 0, b0, 0))}
+            cache = {"k": self._dus(cache["k"], kcol, (0, 0, b0, 0), g),
+                     "v": self._dus(cache["v"], vcol, (0, 0, b0, 0), g)}
             # query (local block j, column c) attends cache[c, :b0+j+1]
             qc = q.reshape(B, n_blocks, bc, S).transpose(0, 2, 1, 3)  # [B, bc, nb, S]
             mask = (jnp.arange(self.blocks)[None, :]
                     <= (b0 + jnp.arange(n_blocks))[:, None])  # [nb, blocks]
             qh = qc.reshape(B * bc, n_blocks, S)
-            kh = cache["k"].reshape(B * bc, self.blocks, S)
-            vh = cache["v"].reshape(B * bc, self.blocks, S)
+            kh = self._group_view(cache["k"], g).reshape(B * bc, self.blocks, S)
+            vh = self._group_view(cache["v"], g).reshape(B * bc, self.blocks, S)
             a, _ = dense_attn(qh, kh, vh, self.n_head, mask.astype(jnp.float32))
             a = (a.reshape(B, bc, n_blocks, S).transpose(0, 2, 1, 3)
                  .reshape(B, C, S))
@@ -473,8 +524,8 @@ class FactoredAttention:
             assert C == n_blocks * bc
             b0 = t0 // bc
             prev_ring = (b0 - 1) % 2
-            prev_k = lax.dynamic_slice(cache["k"], (0, prev_ring * bc, 0), (B, bc, S))
-            prev_v = lax.dynamic_slice(cache["v"], (0, prev_ring * bc, 0), (B, bc, S))
+            prev_k = self._dsl(cache["k"], (0, prev_ring * bc, 0), (B, bc, S), g)
+            prev_v = self._dsl(cache["v"], (0, prev_ring * bc, 0), (B, bc, S), g)
             kb = k.reshape(B, n_blocks, bc, S)
             vb = v.reshape(B, n_blocks, bc, S)
             k_shift = jnp.concatenate([prev_k[:, None], kb[:, :-1]], axis=1)
@@ -486,39 +537,47 @@ class FactoredAttention:
             a = a.reshape(B, C, S)
             # maintain the double buffer: write the chunk's last two blocks
             last_ring = (b0 + n_blocks - 1) % 2
-            cache = {"k": lax.dynamic_update_slice(cache["k"], kb[:, -1],
-                                                   (0, last_ring * bc, 0)),
-                     "v": lax.dynamic_update_slice(cache["v"], vb[:, -1],
-                                                   (0, last_ring * bc, 0))}
+            cache = {"k": self._dus(cache["k"], kb[:, -1], (0, last_ring * bc, 0), g),
+                     "v": self._dus(cache["v"], vb[:, -1], (0, last_ring * bc, 0), g)}
             if n_blocks >= 2:
                 other = (b0 + n_blocks - 2) % 2
-                cache = {"k": lax.dynamic_update_slice(cache["k"], kb[:, -2],
-                                                       (0, other * bc, 0)),
-                         "v": lax.dynamic_update_slice(cache["v"], vb[:, -2],
-                                                       (0, other * bc, 0))}
+                cache = {"k": self._dus(cache["k"], kb[:, -2], (0, other * bc, 0), g),
+                         "v": self._dus(cache["v"], vb[:, -2], (0, other * bc, 0), g)}
         elif f == 4:
             assert C == n_blocks * bc
             b0 = t0 // bc
             # write each chunk block's final position as its summary
             kb = k.reshape(B, n_blocks, bc, S)[:, :, -1]  # [B, nb, S]
             vb = v.reshape(B, n_blocks, bc, S)[:, :, -1]
-            cache = {"k": lax.dynamic_update_slice(cache["k"], kb, (0, 1 + b0, 0)),
-                     "v": lax.dynamic_update_slice(cache["v"], vb, (0, 1 + b0, 0))}
+            cache = {"k": self._dus(cache["k"], kb, (0, 1 + b0, 0), g),
+                     "v": self._dus(cache["v"], vb, (0, 1 + b0, 0), g)}
             # query at (local block j, col c) attends pad + summaries of
             # blocks < b0+j, plus its own summary at the block-final position
             pos = t0 + jnp.arange(C)
             hi = jnp.minimum((pos + 1) // bc, self.blocks - 1)
             mask = (jnp.arange(self.blocks + 1)[None, :]
                     <= hi[:, None]).astype(jnp.float32)
-            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head, mask)
+            a, _ = dense_attn(q, self._group_view(cache["k"], g),
+                              self._group_view(cache["v"], g), self.n_head, mask)
         elif f == 7:
             pl_ = self._prime_len
             pos = t0 + jnp.arange(C)
             idx = jnp.where(pos < pl_, pos, pl_ + 1)
-            cache = {"k": cache["k"].at[:, idx].set(k, mode="drop"),
-                     "v": cache["v"].at[:, idx].set(v, mode="drop")}
+            if g is None:
+                cache = {"k": cache["k"].at[:, idx].set(k, mode="drop"),
+                         "v": cache["v"].at[:, idx].set(v, mode="drop")}
+                kg, vg = cache["k"], cache["v"]
+            else:
+                # read-modify-write of group g's [B, pl, S] slice: an array
+                # advanced index mixed with a scalar g would scatter through
+                # an awkward transposed layout; the slice is small (prime
+                # cache only) and prefill runs once per chunk
+                kg = self._group_view(cache["k"], g).at[:, idx].set(k, mode="drop")
+                vg = self._group_view(cache["v"], g).at[:, idx].set(v, mode="drop")
+                cache = {"k": self._dus(cache["k"], kg, (0, 0, 0), g),
+                         "v": self._dus(cache["v"], vg, (0, 0, 0), g)}
             mask = (jnp.arange(pl_)[None, :] <= jnp.minimum(pos, pl_ - 1)[:, None])
-            a, _ = dense_attn(q, cache["k"], cache["v"], self.n_head,
+            a, _ = dense_attn(q, kg, vg, self.n_head,
                               mask.astype(jnp.float32))
         else:
             raise NotImplementedError(f"attn_func {f} prefill")

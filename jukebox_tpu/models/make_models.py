@@ -258,16 +258,28 @@ class PriorRuntime:
     def to_device(self):
         self.params = jax.device_put(self.params)
 
-    def stage_decode(self):
+    def stage_decode(self, quantize=None):
         """Stage the SAMPLING form on device: segment-stacked transformer
         params (stacked host-side with numpy) plus the remaining 'light'
         params. Zero-copy: the raw per-layer transformer weights never exist
         on device, so billion-param decode fits HBM without the transient
-        duplicate (at 5B scale the duplicate alone exceeds a v5e chip)."""
+        duplicate (at 5B scale the duplicate alone exceeds a v5e chip).
+
+        quantize: "int8" stores the transformer dense weights as weight-only
+        int8 with per-out-channel scales (halves the per-token HBM weight
+        stream AND the staged footprint; embeddings/LayerNorm stay full
+        precision). Default from JUKEBOX_INT8_DECODE=1."""
+        if quantize is None and os.environ.get("JUKEBOX_INT8_DECODE"):
+            quantize = "int8"
         host = jax.tree_util.tree_map(np.asarray, self.params)
         tr = host["prior"]["transformer"]
         dec = self.model.prior.transformer.prepare_decode_params(
             tr, stack=np.stack)
+        if quantize == "int8":
+            from jukebox_tpu.ops.core import quantize_dense_tree
+            dec = quantize_dense_tree(dec)
+        elif quantize:
+            raise ValueError(f"unknown decode quantization {quantize!r}")
         light = dict(host)
         light["prior"] = {k: v for k, v in host["prior"].items()
                           if k != "transformer"}

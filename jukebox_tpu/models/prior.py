@@ -335,6 +335,13 @@ class SimplePrior:
                 fp16=fp16, chunk_size=chunk_size, dec_params=dec_params)
         else:
             x_tok = jnp.zeros((n_samples, 1), jnp.int32)
+        if fp16:
+            # the decode loop reads x_cond every token and computes in bf16;
+            # keeping the resident copy fp32 doubles both its HBM footprint
+            # (0.8 GiB at 1b/bs=16) and the per-token conditioning stream
+            x_cond = x_cond.astype(jnp.bfloat16)
+            if encoder_kv is not None:
+                encoder_kv = encoder_kv.astype(jnp.bfloat16)
         return caches, x_tok, x_cond, y_cond, encoder_kv
 
     def sample_prefix_len(self, z=None):

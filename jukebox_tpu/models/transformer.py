@@ -136,10 +136,10 @@ class ResAttnBlock:
             h = x + self.res_scale * (a + m)
         return h, w
 
-    def decode_step(self, params, cache, x, t, encoder_kv=None):
+    def decode_step(self, params, cache, x, t, encoder_kv=None, g=None):
         a, cache = self.attn.decode_step(params["attn"], cache,
                                          layer_norm(params["ln_0"], x), t,
-                                         encoder_kv=encoder_kv)
+                                         encoder_kv=encoder_kv, g=g)
         m = self.mlp.apply(params["mlp"], layer_norm(params["ln_1"], x + a))
         if self.res_scale == 1.0:
             h = x + a + m
@@ -147,10 +147,12 @@ class ResAttnBlock:
             h = x + self.res_scale * (a + m)
         return h, cache
 
-    def prefill_chunk(self, params, cache, x, t0, n_blocks, encoder_kv=None):
+    def prefill_chunk(self, params, cache, x, t0, n_blocks, encoder_kv=None,
+                      g=None):
         a, cache = self.attn.prefill_chunk(params["attn"], cache,
                                            layer_norm(params["ln_0"], x), t0,
-                                           n_blocks, encoder_kv=encoder_kv)
+                                           n_blocks, encoder_kv=encoder_kv,
+                                           g=g)
         m = self.mlp.apply(params["mlp"], layer_norm(params["ln_1"], x + a))
         if self.res_scale == 1.0:
             h = x + a + m
@@ -436,19 +438,28 @@ class Transformer:
                 x, nc = getattr(cfg, method)(p_seg, c_seg, x, *args,
                                              encoder_kv=enc)
             else:
-                _, pat, _ = seg
-
-                def body(h, inp, _pat=pat):
-                    gp, gc = inp
+                _, pat, starts = seg
+                # the group-stacked caches ride in the scan CARRY and each
+                # group updates its slice in place (grouped dynamic_update_
+                # slice at index g). Streaming them through xs/ys instead
+                # would DMA every cache in full and write a full updated
+                # copy per token — gigabytes of HBM traffic per step at
+                # 1b/5b scale and the allocator pressure that kept bs=16
+                # from fitting.
+                def body(carry, inp, _pat=pat):
+                    h, gc = carry
+                    gp, g = inp
                     ncs = []
                     for j, f in enumerate(_pat):
                         enc = encoder_kv if f == 6 else None
                         h, c = getattr(self.block_cfg_f(f), method)(
-                            gp[j], gc[j], h, *args, encoder_kv=enc)
+                            gp[j], gc[j], h, *args, encoder_kv=enc, g=g)
                         ncs.append(c)
-                    return h, tuple(ncs)
+                    return (h, tuple(ncs)), ()
 
-                x, nc = jax.lax.scan(body, x, (p_seg, c_seg))
+                (x, nc), _ = jax.lax.scan(
+                    body, (x, tuple(c_seg)),
+                    (p_seg, jnp.arange(len(starts))))
             new_caches.append(nc)
         return x, new_caches
 
