@@ -23,9 +23,12 @@ to stderr and bench_details.json.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_N_SAMPLES (default 8; 16 OOMs the upsampler segment graph on one v5e), BENCH_MODEL (default 1b_lyrics),
-BENCH_BUDGET_S (default 1500), BENCH_PHASES (csv subset of
-top,up_anc,up_primed), BENCH_ALLOW_CPU=1 to run on host CPU.
+Env knobs: BENCH_N_SAMPLES (default 16, the reference's own 1b max batch —
+fits one v5e since the in-place grouped cache decode), BENCH_MODEL (default
+1b_lyrics), BENCH_BUDGET_S (default 1500), BENCH_PHASES (csv subset of
+top,up_anc,up_primed), BENCH_INT8=1 for weight-only int8 decode staging,
+BENCH_BS_TOP/BENCH_BS_UP batch overrides, BENCH_ALLOW_CPU=1 to run on host
+CPU.
 """
 
 import json
@@ -166,7 +169,7 @@ def main():
         raise RuntimeError("bench must run on TPU (set BENCH_ALLOW_CPU=1 to override)")
 
     os.environ.setdefault("JUKEBOX_INIT_CACHE", "1")
-    n_samples = int(os.environ.get("BENCH_N_SAMPLES", "8"))
+    n_samples = int(os.environ.get("BENCH_N_SAMPLES", "16"))
     model = os.environ.get("BENCH_MODEL", "1b_lyrics")
     phases = os.environ.get("BENCH_PHASES", "top,up_anc,up_primed").split(",")
 
@@ -195,9 +198,12 @@ def main():
     if model == "1b_lyrics":
         top_chunk, top_mbs = 32, 16
     else:
-        top_chunk, top_mbs = 16, 3
-    bs_top = min(n_samples, top_mbs)
-    bs_up = min(n_samples, 16)
+        # reference 5b settings: chunk 16, max_batch_size 3 on V100 16GB
+        # (sample.py:231-241); int8 decode staging fits more rows per v5e
+        top_chunk, top_mbs = 16, (8 if os.environ.get("BENCH_INT8") else 3)
+    bs_top = min(n_samples, int(os.environ.get("BENCH_BS_TOP", top_mbs)))
+    bs_up = min(n_samples, int(os.environ.get("BENCH_BS_UP", 16)))
+    quantize = "int8" if os.environ.get("BENCH_INT8") else None
 
     # build priors lazily per phase so a budget blowup still yields numbers
     results = {}   # phase -> timed_window result dicts
@@ -236,7 +242,7 @@ def main():
             prior_names[-1], dict(sample_length=sample_length,
                                   restore_prior="", fp16_params=True)), vqvae)
         prior = top["prior"]
-        prior.stage_decode()
+        prior.stage_decode(quantize=quantize)
         total_length = 240 * sr
         metas = [dict(artist="unknown", genre="unknown",
                       lyrics=poems["ozymandias"], total_length=total_length,
@@ -258,7 +264,7 @@ def main():
                                      restore_prior="", fp16_params=True)),
                 vqvae)
             prior = ups["prior"]
-            prior.stage_decode()
+            prior.stage_decode(quantize=quantize)
             total_length = 240 * sr
             metas = [dict(artist="unknown", genre="unknown", lyrics="",
                           total_length=total_length, offset=0)] * bs_up
