@@ -258,7 +258,7 @@ class PriorRuntime:
     def to_device(self):
         self.params = jax.device_put(self.params)
 
-    def stage_decode(self, quantize=None):
+    def stage_decode(self, quantize=None, mesh=None):
         """Stage the SAMPLING form on device: segment-stacked transformer
         params (stacked host-side with numpy) plus the remaining 'light'
         params. Zero-copy: the raw per-layer transformer weights never exist
@@ -268,7 +268,14 @@ class PriorRuntime:
         quantize: "int8" stores the transformer dense weights as weight-only
         int8 with per-out-channel scales (halves the per-token HBM weight
         stream AND the staged footprint; embeddings/LayerNorm stay full
-        precision). Default from JUKEBOX_INT8_DECODE=1."""
+        precision). Default from JUKEBOX_INT8_DECODE=1.
+
+        mesh: a Mesh with an 'mp' axis enables tensor-parallel decode —
+        transformer matmuls placed under Megatron splits
+        (parallel/shardings.decode_param_specs), light params replicated.
+        The jitted sample_init/sample_segment then run SPMD with XLA
+        inserting the per-layer all-reduces on ICI; KV caches inherit the
+        n_state split, so per-chip weight AND cache HBM divide by mp."""
         if quantize is None and os.environ.get("JUKEBOX_INT8_DECODE"):
             quantize = "int8"
         host = jax.tree_util.tree_map(np.asarray, self.params)
@@ -283,8 +290,18 @@ class PriorRuntime:
         light = dict(host)
         light["prior"] = {k: v for k, v in host["prior"].items()
                           if k != "transformer"}
-        self._staged_light = jax.device_put(light)
-        self._staged_dec = jax.device_put(dec)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from jukebox_tpu.parallel.shardings import decode_param_specs
+            repl = NamedSharding(mesh, PartitionSpec())
+            self._staged_light = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), light)
+            self._staged_dec = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                dec, decode_param_specs(dec))
+        else:
+            self._staged_light = jax.device_put(light)
+            self._staged_dec = jax.device_put(dec)
         self.params = host  # raw stays host-resident
 
     # mirrored attributes

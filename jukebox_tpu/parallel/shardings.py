@@ -46,3 +46,33 @@ def shard_params(mesh, params, specs=None):
     specs = specs if specs is not None else prior_param_specs(params)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def decode_param_specs(dec_params):
+    """PartitionSpec pytree for segment-shaped decode params (from
+    Transformer.prepare_decode_params): same Megatron splits as
+    prior_param_specs, but leaves inside scan segments carry a leading group
+    axis, and int8-staged layers carry a per-out-channel scale 's' that
+    follows its weight's out-feature sharding. With staged decode params
+    placed under these shardings, the jitted sample_init/sample_segment run
+    tensor-parallel: the KV caches inherit the n_state split from the
+    column-split c_attn, so per-chip cache HBM also divides by mp."""
+
+    def spec(path, leaf):
+        keys = _path_keys(path)
+        name = keys[-1]
+        extra = (None,) * (leaf.ndim - 2)  # leading group axis, if any
+        if any(k in _COL_SPLIT for k in keys):
+            if name in ("w", "w_q"):
+                return P(*extra, None, "mp")
+            if name == "s":
+                return P(*extra, None, "mp")
+            if name == "b":
+                return P(*(None,) * (leaf.ndim - 1), "mp")
+        if any(k in _ROW_SPLIT for k in keys):
+            if name in ("w", "w_q"):
+                return P(*extra, "mp", None)
+            return P()  # c_proj bias/scale applied after the all-reduce
+        return P()
+
+    return tree_map_with_path(spec, dec_params)

@@ -1,0 +1,104 @@
+"""On-chip training-step throughput: jitted prior / vqvae train steps at a
+chosen scale, steady-state steps/sec and tokens/sec. Usage:
+
+    python scripts/train_bench.py [preset] [bs] [steps]
+
+presets: small_prior (default; the reference's README:141 memory-table
+config), prior_1b_lyrics (full 1b scale, remat on), small_vqvae, vqvae.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JUKEBOX_INIT_CACHE", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+preset = sys.argv[1] if len(sys.argv) > 1 else "small_prior"
+bs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+
+cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
+if os.environ.get("JAX_PLATFORMS") != "cpu":
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
+print("device:", jax.devices()[0])
+
+from jukebox_tpu.hparams import setup_hparams
+from jukebox_tpu.models.make_models import make_prior, make_vqvae
+from jukebox_tpu.train import make_prior_train_step, make_vqvae_train_step
+from jukebox_tpu.utils.train_utils import adam_init, make_lr_schedule
+
+is_prior = "prior" in preset
+vq_name = "vqvae" if preset in ("vqvae", "prior_1b_lyrics") else "small_vqvae"
+vq_hps = setup_hparams(vq_name, dict(sample_length=0, restore_vqvae="",
+                                     train=not is_prior))
+
+if is_prior:
+    overrides = dict(restore_prior="", prior=True, train=True, labels=False)
+    if preset == "prior_1b_lyrics":
+        # training form: labels + remat like the released run
+        overrides.update(labels=True, labels_v3=True,
+                         min_duration=17.84, max_duration=600.0, c_res=1)
+    hps = setup_hparams(preset, dict(sample_length=0, **overrides))
+    n_ctx = hps.n_ctx
+    from jukebox_tpu.models.vqvae import calculate_strides
+    downs = calculate_strides(vq_hps.strides_t, vq_hps.downs_t)
+    raw_per = [int(np.prod(downs[:l + 1])) for l in range(len(downs))]
+    raw_to_tokens = raw_per[hps.get("level", len(raw_per) - 1)]
+    hps.sample_length = n_ctx * raw_to_tokens
+    vq_hps.sample_length = hps.sample_length
+    vqvae = make_vqvae(vq_hps)
+    model = make_prior(hps, vqvae)
+    step_fn = make_prior_train_step(model, hps, make_lr_schedule(hps))
+    params, opt = model.params, adam_init(model.params)
+    x = jnp.asarray(np.random.RandomState(0).randn(
+        bs, hps.sample_length, 1), jnp.float32)
+    if hps.labels:
+        n_labels = 4 + 1 + (hps.n_tokens if hps.get("use_tokens") else 0)
+        y = np.zeros((bs, n_labels), np.int64)
+        y[:, 0] = 600 * hps.sr
+        y[:, 2] = hps.sample_length
+        batch = (x, jnp.asarray(y))
+    else:
+        batch = (x, None)
+    state = None
+    tokens_per_step = bs * n_ctx
+else:
+    vq_hps = setup_hparams(vq_name, dict(sample_length=0, restore_vqvae="",
+                                         train=True))
+    vq_hps.sample_length = 262144 if vq_name == "vqvae" else 65536
+    vq_hps.bandwidth = {"l1": 1.0, "l2": 1.0, "spec": 1.0}
+    vqvae = make_vqvae(vq_hps)
+    model = vqvae
+    step_fn = make_vqvae_train_step(vqvae, vq_hps, make_lr_schedule(vq_hps))
+    params, opt, state = vqvae.params, adam_init(vqvae.params), vqvae.state
+    batch = jnp.asarray(np.random.RandomState(0).randn(
+        bs, vq_hps.sample_length, 1), jnp.float32)
+    tokens_per_step = bs * vq_hps.sample_length  # raw samples
+
+rng = jax.random.key(0)
+times = []
+for i in range(n_steps):
+    t0 = time.time()
+    params, opt, state, loss, metrics = step_fn(
+        params, opt, state, batch, jax.random.fold_in(rng, i),
+        jnp.asarray(i + 1, jnp.int32))
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    times.append(dt)
+    print(f"step {i}: {dt*1e3:.1f} ms  loss={float(loss):.4f}", flush=True)
+
+steady = times[2:] if len(times) > 4 else times[1:]
+mean = sum(steady) / len(steady)
+print(f"\n{preset} bs={bs}: {mean*1e3:.1f} ms/step steady "
+      f"({1/mean:.2f} steps/s, {tokens_per_step/mean:,.0f} tok/s), "
+      f"compile+first {times[0]*1e3:.0f} ms")

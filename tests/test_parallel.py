@@ -72,3 +72,27 @@ def test_tensor_parallel_equivalence():
     flat2 = jax.tree_util.tree_leaves(new2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_tensor_parallel_decode_equivalence():
+    """Staged decode under an 'mp' mesh (Megatron splits via
+    decode_param_specs) must produce the same tokens as single-device staged
+    decode — the serving-side TP path (stage_decode(mesh=...))."""
+    prior, _, _, y = _build()
+    rng = jax.random.key(7)
+
+    prior.stage_decode()
+    z1 = prior.sample(4, y=y, rng=rng, fp16=False, temp=0.0, chunk_size=8,
+                      segment_tokens=8)
+
+    mesh = make_mesh(mesh_dp=1, mesh_mp=2, devices=jax.devices()[:2])
+    prior.stage_decode(mesh=mesh)
+    z2 = prior.sample(4, y=y, rng=rng, fp16=False, temp=0.0, chunk_size=8,
+                      segment_tokens=8)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+
+    # int8-quantised TP staging: same shape/stream runs end-to-end
+    prior.stage_decode(quantize="int8", mesh=mesh)
+    z3 = prior.sample(4, y=y, rng=rng, fp16=False, temp=0.0, chunk_size=8,
+                      segment_tokens=8)
+    assert np.asarray(z3).shape == np.asarray(z1).shape
