@@ -62,6 +62,9 @@ def _alarm(signum, frame):
 
 
 SEGMENT = int(os.environ.get("BENCH_SEGMENT_TOKENS", "512"))
+# upsampler prefill chunk: the reference uses 32 on V100; larger
+# block-aligned chunks fill the MXU better on TPU
+UP_CHUNK = int(os.environ.get("BENCH_CHUNK_UP", "256"))
 
 
 def timed_window(prior, n, rng, z, z_conds, y, chunk_size, sample_tokens=None):
@@ -278,7 +281,7 @@ def main():
         n_cond = prior.n_ctx // prior.cond_downsample
         z_conds = [jnp.zeros((bs_up, n_cond), jnp.int32)]
         results["up_anc"] = timed_window(prior, bs_up, next(rngs), None,
-                                         z_conds, jnp.asarray(ups["y"]), 32)
+                                         z_conds, jnp.asarray(ups["y"]), UP_CHUNK)
 
     def phase_up_primed():
         prior = _build_upsampler()
@@ -290,7 +293,7 @@ def main():
         z_conds = [jnp.zeros((bs_up, n_cond), jnp.int32)]
         results["up_primed"] = dict(
             timed_window(prior, bs_up, next(rngs), z, z_conds,
-                         jnp.asarray(ups["y"]), 32), primed=hop)
+                         jnp.asarray(ups["y"]), UP_CHUNK), primed=hop)
 
     run_phase("top", phase_top)
     run_phase("up_anc", phase_up_anc)

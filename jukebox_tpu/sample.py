@@ -219,12 +219,17 @@ def save_samples(model, device, hps, sample_hps):
 
     labels = [prior.labeller.get_batch_labels(metas) for prior in priors]
 
-    lower_level_chunk_size = 32
-    lower_level_max_batch_size = 16
+    # reference V100 values are chunk 32/16, max_batch 16/3 (sample.py:231-241);
+    # on TPU larger block-aligned prefill chunks fill the MXU far better and a
+    # v5e fits bs=16 at 1b scale (PERF.md). Override via hps if needed.
+    lower_level_chunk_size = hps.get("lower_level_chunk_size", 256)
+    lower_level_max_batch_size = hps.get("lower_level_max_batch_size", 16)
     if model == "1b_lyrics":
-        chunk_size, max_batch_size = 32, 16
+        chunk_size, max_batch_size = hps.get("chunk_size", 256), \
+            hps.get("max_batch_size", 16)
     else:
-        chunk_size, max_batch_size = 16, 3
+        chunk_size, max_batch_size = hps.get("chunk_size", 128), \
+            hps.get("max_batch_size", 4)
     sampling_kwargs = [
         dict(temp=0.99, fp16=True, chunk_size=lower_level_chunk_size,
              max_batch_size=lower_level_max_batch_size),
