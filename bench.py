@@ -223,7 +223,20 @@ def main():
         signal.alarm(max(1, int(remaining())))
         try:
             log(f"phase {name}: start (budget left {remaining():.0f}s)")
-            fn()
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001
+                # The axon worker frees a previous client's HBM asynchronously;
+                # a bench started back-to-back with another chip job can hit a
+                # transient RESOURCE_EXHAUSTED. One settled retry.
+                if "RESOURCE_EXHAUSTED" not in str(e) or remaining() < 120:
+                    raise
+                log(f"phase {name}: transient RESOURCE_EXHAUSTED, "
+                    f"retrying once after 30s")
+                import gc
+                gc.collect()
+                time.sleep(30)
+                fn()
             r = results[name]
             log(f"phase {name}: init {r['init_s']:.1f}s "
                 f"(+{r['init_compile_s']:.0f}s compile), "
