@@ -1,0 +1,540 @@
+"""Whole-stack decode megakernel for [1,2,3]-cycle priors (attn_order 2).
+
+One `pallas_call` per sampled token runs ALL n_depth layers of an order-2
+prior (the upsamplers — the dominant cost of the sampling cascade, SURVEY
+§3.2) instead of ~10 XLA kernels per layer. The decode step at 1b/5b scale
+is HBM-bandwidth-bound on the weight stream (~3·S² bf16 per layer); the XLA
+path pays ~1.5 ms/token of per-kernel fixed costs across 72 layers on top of
+the ~2 ms weight stream. This kernel streams the weights through a shared
+ping-pong canvas with double-buffered DMA (guide pattern) and does
+LayerNorm / qkv / ring-cache attention / proj / MLP for each layer
+in-kernel, so a token step is a single launch whose cost approaches the
+weight-stream roofline.
+
+Replaces (TPU-native, not a translation): the reference's per-token Python
+loop over torch modules (jukebox/prior/autoregressive.py:199-249 +
+factored_attention.py decode paths). Ring retention matches
+models/attention.py exactly, but the kernel owns a slot-leading, lane-padded
+cache layout so every dynamic index lands on a leading memref dim (Mosaic
+requires last-dim slices to be tile-aligned):
+  func 1 (row):        K/V [G, bc, B, Ap], slot t % bc, mask slots <= t % bc
+  func 2 (column):     K/V [G, bc, blocks, B, Ap], write (t % bc, t // bc),
+                       read column t % bc, mask slots <= t // bc
+  func 3 (prev-row):   K/V [G, 2, bc, B, Ap] two rings; write ring
+                       (t//bc) % 2 slot t % bc, read ring ((t//bc)-1) % 2,
+                       no mask
+with Ap = A rounded up to the lane tile. pack_caches/unpack_caches convert
+to/from the standard [G, B, slots, A] layout (prefill -> decode handoff).
+
+Numerics mirror ops/core.py: LayerNorm accumulates fp32 (eps 1e-5), matmuls
+accumulate fp32 and round to the activation dtype, attention uses the
+reference's fused q*s @ k*s scale (factored_attention.py:82-88) with
+softmax in fp32, quick_gelu MLP, residual x + a + m (res_scale folded in).
+
+Only heads == 1 is supported (all jukebox upsamplers; the 1b/5b top priors
+use other attn_orders and stay on the XLA path).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9  # matches models/attention.py mask fill
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _piece_width(S, lane, cap=512):
+    """Largest divisor of S that is a lane multiple and <= cap."""
+    for d in range(min(S, cap), 0, -1):
+        if S % d == 0 and d % lane == 0:
+            return d
+    raise ValueError(f"no lane-aligned piece width for S={S}, lane={lane}")
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing: stacked scan-segment params -> chunk-major arrays
+# ---------------------------------------------------------------------------
+
+def pack_decode_params(p_seg, lane=128, np_=np):
+    """Pack a ("scan", (1,2,3), starts) segment's stacked params (tuple of 3
+    trees, each leaf [G, ...]) into the chunk-major, lane-padded layout the
+    kernel DMAs:
+
+      w_qkv[j]: [G, 3,      S,  Ap]  (q | k | v column blocks of c_attn,
+                                      columns zero-padded A -> Ap)
+      w_proj[j]:[G, S//PW,  Ap, PW]  (column blocks of c_proj, rows padded)
+      w_m1[j]:  [G, Sm//PW, S,  PW]
+      w_m2[j]:  [G, S//PW,  Sm, PW]
+
+    Every DMA is then a whole [.., rows, cols] block with tile-aligned rows
+    and cols. Weights cast to bf16; biases/LN stay fp32.
+    """
+    packed = []
+    for j in range(3):
+        p = p_seg[j]
+        wq = np_.asarray(p["attn"]["c_attn"]["w"], np_.float32)
+        bq = np_.asarray(p["attn"]["c_attn"]["b"], np_.float32)
+        wp = np_.asarray(p["attn"]["c_proj"]["w"], np_.float32)
+        bp = np_.asarray(p["attn"]["c_proj"]["b"], np_.float32)
+        w1 = np_.asarray(p["mlp"]["c_fc"]["w"], np_.float32)
+        b1 = np_.asarray(p["mlp"]["c_fc"]["b"], np_.float32)
+        w2 = np_.asarray(p["mlp"]["c_proj"]["w"], np_.float32)
+        b2 = np_.asarray(p["mlp"]["c_proj"]["b"], np_.float32)
+        G, S, threeA = wq.shape
+        A = threeA // 3
+        Sm = w1.shape[-1]
+        Ap = _round_up(A, lane)
+        PW = _piece_width(S, lane)
+        assert wp.shape == (G, A, S) and w2.shape == (G, Sm, S)
+        assert Sm % PW == 0
+
+        def cols(w, piece):  # [G, K, N] -> [G, N//piece, K, piece]
+            gg, kk, nn = w.shape
+            return np_.ascontiguousarray(
+                w.reshape(gg, kk, nn // piece, piece).transpose(0, 2, 1, 3))
+
+        wq3 = cols(wq, A)                       # [G, 3, S, A]
+        if Ap != A:
+            wq3 = np_.concatenate(
+                [wq3, np_.zeros((G, 3, S, Ap - A), wq3.dtype)], axis=-1)
+            bq3 = np_.concatenate(
+                [bq.reshape(G, 3, A),
+                 np_.zeros((G, 3, Ap - A), bq.dtype)], axis=-1)
+            wp_pad = np_.concatenate(
+                [wp, np_.zeros((G, Ap - A, S), wp.dtype)], axis=1)
+        else:
+            bq3 = bq.reshape(G, 3, A)
+            wp_pad = wp
+
+        bf16 = jnp.bfloat16
+        packed.append(dict(
+            w_qkv=wq3.astype(bf16),
+            w_proj=cols(wp_pad, PW).astype(bf16),   # [G, S//PW, Ap, PW]
+            w_m1=cols(w1, PW).astype(bf16),         # [G, Sm//PW, S, PW]
+            w_m2=cols(w2, PW).astype(bf16),         # [G, S//PW, Sm, PW]
+            b_qkv=bq3.astype(np_.float32),
+            b_proj=bp.reshape(G, S // PW, PW).astype(np_.float32),
+            b_m1=b1.reshape(G, Sm // PW, PW).astype(np_.float32),
+            b_m2=b2.reshape(G, S // PW, PW).astype(np_.float32),
+            ln0_g=np_.asarray(p["ln_0"]["g"], np_.float32),
+            ln0_b=np_.asarray(p["ln_0"]["b"], np_.float32),
+            ln1_g=np_.asarray(p["ln_1"]["g"], np_.float32),
+            ln1_b=np_.asarray(p["ln_1"]["b"], np_.float32),
+        ))
+    return packed
+
+
+_PACK_KEYS = ("w_qkv", "w_proj", "w_m1", "w_m2",
+              "b_qkv", "b_proj", "b_m1", "b_m2",
+              "ln0_g", "ln0_b", "ln1_g", "ln1_b")
+
+
+def _flatten_packed(packed):
+    return [packed[j][k] for j in range(3) for k in _PACK_KEYS]
+
+
+# ---------------------------------------------------------------------------
+# Cache layout conversion (standard [G, B, slots, A] <-> kernel layout)
+# ---------------------------------------------------------------------------
+
+def pack_caches(c_seg, bc, lane=128, xp=jnp):
+    """Standard group-stacked caches (tuple of 3 {"k","v"} trees from
+    init_cache_from_segments) -> kernel slot-leading lane-padded tuple
+    (k1, v1, k2, v2, k3, v3)."""
+    A = c_seg[0]["k"].shape[-1]
+    Ap = _round_up(A, lane)
+
+    def padA(x):
+        if Ap == A:
+            return x
+        cfg = [(0, 0, 0)] * (x.ndim - 1) + [(0, Ap - A, 0)]
+        if xp is jnp:
+            return lax.pad(x, xp.asarray(0, x.dtype), cfg)
+        return np.concatenate(
+            [x, np.zeros(x.shape[:-1] + (Ap - A,), x.dtype)], axis=-1)
+
+    k1 = padA(xp.transpose(c_seg[0]["k"], (0, 2, 1, 3)))   # [G,bc,B,Ap]
+    v1 = padA(xp.transpose(c_seg[0]["v"], (0, 2, 1, 3)))
+    k2 = padA(xp.transpose(c_seg[1]["k"], (0, 2, 3, 1, 4)))  # [G,bc,bl,B,Ap]
+    v2 = padA(xp.transpose(c_seg[1]["v"], (0, 2, 3, 1, 4)))
+    k3 = padA(xp.transpose(c_seg[2]["k"], (0, 2, 1, 3)))    # [G,2bc,B,Ap]
+    v3 = padA(xp.transpose(c_seg[2]["v"], (0, 2, 1, 3)))
+    k3 = k3.reshape(k3.shape[0], 2, bc, *k3.shape[2:])      # [G,2,bc,B,Ap]
+    v3 = v3.reshape(v3.shape[0], 2, bc, *v3.shape[2:])
+    return k1, v1, k2, v2, k3, v3
+
+
+def init_kernel_caches(G, bc, blocks, B, A, lane=128, dtype=jnp.bfloat16):
+    """Fresh zero caches directly in the kernel's slot-leading layout
+    (equivalent to pack_caches(init_cache_from_segments(...)) without
+    materializing the standard layout)."""
+    Ap = _round_up(A, lane)
+    z = lambda *s: jnp.zeros(s, dtype)
+    return (z(G, bc, B, Ap), z(G, bc, B, Ap),
+            z(G, bc, blocks, B, Ap), z(G, bc, blocks, B, Ap),
+            z(G, 2, bc, B, Ap), z(G, 2, bc, B, Ap))
+
+
+def unpack_caches(c6, A):
+    """Kernel layout -> standard tuple of 3 {"k","v"} trees."""
+    k1, v1, k2, v2, k3, v3 = c6
+
+    def t1(x):  # [G,bc,B,Ap] -> [G,B,bc,A]
+        return jnp.transpose(x[..., :A], (0, 2, 1, 3))
+
+    def t2(x):  # [G,bc,bl,B,Ap] -> [G,B,bc,bl,A]
+        return jnp.transpose(x[..., :A], (0, 3, 1, 2, 4))
+
+    def t3(x):  # [G,2,bc,B,Ap] -> [G,B,2bc,A]
+        g, two, bc_, b, ap = x.shape
+        return jnp.transpose(x[..., :A].reshape(g, two * bc_, b, A),
+                             (0, 2, 1, 3))
+
+    return ({"k": t1(k1), "v": t1(v1)},
+            {"k": t2(k2), "v": t2(v2)},
+            {"k": t3(k3), "v": t3(v3)})
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale,
+            t_ref, *refs):
+    """refs: 3×12 packed param refs (weights ANY, biases/LN VMEM), 6 cache
+    refs (ANY), x_in; outputs x_out + 6 aliased cache outs; scratch: canvas,
+    kbuf, vbuf, kstage, vstage, wsem, crsem, wbsem."""
+    n_pp = S // PW
+    n_m1 = Sm // PW
+    n_m2 = S // PW
+    pieces_per_layer = 3 + n_pp + n_m1 + n_m2
+    per = len(_PACK_KEYS)
+    params = [dict(zip(_PACK_KEYS, refs[j * per:(j + 1) * per]))
+              for j in range(3)]
+    off = 3 * per
+    k1, v1, k2, v2, k3, v3 = refs[off:off + 6]
+    x_in = refs[off + 6]
+    x_out = refs[off + 7]
+    k1o, v1o, k2o, v2o, k3o, v3o = refs[off + 8:off + 14]
+    (canvas, kbuf, vbuf, kstage, vstage,
+     wsem, crsem, wbsem) = refs[off + 14:]
+
+    t = t_ref[0, 0]
+    s_row = t % bc          # func-1 slot / func-2 column
+    b_col = t // bc         # func-2 block row
+    ring_w = (t // bc) % 2  # func-3 write ring
+    ring_r = ((t // bc) - 1) % 2
+    scale = float(A) ** -0.25
+
+    cache_w = {0: (k1o, v1o), 1: (k2o, v2o), 2: (k3o, v3o)}
+    tot_pg = pieces_per_layer * 3
+
+    # -- weight-piece DMA plumbing (guide double-buffer pattern, 1-ahead) ---
+    def piece_geom(local):
+        """(key, piece_idx, rows, cols) for layer-local piece index."""
+        if local < 3:
+            return "w_qkv", local, S, Ap
+        local -= 3
+        if local < n_pp:
+            return "w_proj", local, Ap, PW
+        local -= n_pp
+        if local < n_m1:
+            return "w_m1", local, S, PW
+        return "w_m2", local - n_m1, Sm, PW
+
+    def piece_dma(j, local, g, slot):
+        key, idx, rows, cols = piece_geom(local)
+        return pltpu.make_async_copy(params[j][key].at[g, idx],
+                                     canvas.at[slot, :rows, :cols],
+                                     wsem.at[slot])
+
+    def slot_of(g, lin):
+        return (g * tot_pg + lin) % 2
+
+    def issue_next(j_cur, lin, g):
+        """After consuming piece lin, start the DMA for piece lin+1."""
+        nxt = lin + 1
+        if nxt < tot_pg:
+            nj, nl = divmod(nxt, pieces_per_layer)
+            piece_dma(nj, nl, g, slot_of(g, nxt)).start()
+        else:
+            @pl.when(g + 1 < G)
+            def _():
+                piece_dma(0, 0, jnp.minimum(g + 1, G - 1),
+                          slot_of(g + 1, 0)).start()
+
+    # canvas views by geometry (compute side)
+    def canvas_rows(local, slot):
+        _, _, rows, cols = piece_geom(local)
+        return canvas[slot, :rows, :cols]
+
+    # warm-up: first piece of group 0 (slot 0)
+    piece_dma(0, 0, 0, 0).start()
+
+    # -- cache read DMAs (slot-leading layouts; dynamic index on leading
+    #    dims only) ----------------------------------------------------------
+    def cache_read(j, g):
+        if j == 0:
+            kd = pltpu.make_async_copy(k1.at[g], kbuf.at[:bc], crsem.at[0])
+            vd = pltpu.make_async_copy(v1.at[g], vbuf.at[:bc], crsem.at[1])
+        elif j == 1:
+            kd = pltpu.make_async_copy(k2.at[g, s_row], kbuf.at[:blocks],
+                                       crsem.at[0])
+            vd = pltpu.make_async_copy(v2.at[g, s_row], vbuf.at[:blocks],
+                                       crsem.at[1])
+        else:
+            kd = pltpu.make_async_copy(k3.at[g, ring_r], kbuf.at[:bc],
+                                       crsem.at[0])
+            vd = pltpu.make_async_copy(v3.at[g, ring_r], vbuf.at[:bc],
+                                       crsem.at[1])
+        return kd, vd
+
+    def group_body(g, _):
+        x = x_out[:]                                   # [B, S]
+        lin = 0
+
+        for j in range(3):
+            p = params[j]
+            # previous group's write-back of this layer's stage buffers
+            @pl.when(g > 0)
+            def _(j=j):
+                _wb_dma(j, cache_w, kstage, vstage, wbsem, bc,
+                        s_row, b_col, ring_w, jnp.maximum(g - 1, 0),
+                        B).wait_all()
+
+            kd, vd = cache_read(j, g)
+            kd.start()
+            vd.start()
+
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+            u = ((xf - mu) * lax.rsqrt(var + 1e-5) * p["ln0_g"][g]
+                 + p["ln0_b"][g]).astype(x.dtype)      # [B, S]
+
+            # ---- q, k, v pieces ---------------------------------------------
+            qkv = []
+            for piece in range(3):
+                slot = slot_of(g, lin)
+                piece_dma(j, lin % pieces_per_layer, g, slot).wait()
+                issue_next(j, lin, g)
+                w = canvas_rows(lin % pieces_per_layer, slot)
+                qkv.append(jnp.dot(u, w, preferred_element_type=jnp.float32)
+                           + p["b_qkv"][g, piece])
+                lin += 1
+            q, k, v = qkv                              # [B, Ap] fp32
+
+            kbf = k.astype(x.dtype)
+            vbf = v.astype(x.dtype)
+            if j == 0:
+                L, lim, ins = bc, s_row, s_row
+            elif j == 1:
+                L, lim, ins = blocks, b_col, b_col
+            else:
+                L, lim, ins = bc, None, None           # reads the PREV ring
+            kstage[j * B:(j + 1) * B, :] = kbf
+            vstage[j * B:(j + 1) * B, :] = vbf
+            _wb_dma(j, cache_w, kstage, vstage, wbsem, bc,
+                    s_row, b_col, ring_w, g, B).start_all()
+
+            kd.wait()
+            vd.wait()
+            # buffers are slot-leading [L, B, Ap]; batched matvecs become
+            # VPU broadcast-multiply-reduce (Mosaic supports neither
+            # mid-axis shape casts nor batched dots with an empty lhs
+            # non-contracting set), and the current token's K/V are merged
+            # into the loaded values with a `where` on the slot axis.
+            kr = kbuf[:L].astype(jnp.float32) * scale
+            vr = vbuf[:L].astype(jnp.float32)
+            slot3 = lax.broadcasted_iota(jnp.int32, (L, B, Ap), 0)
+            if ins is not None:
+                kr = jnp.where(slot3 == ins,
+                               lax.broadcast_in_dim(
+                                   kbf.astype(jnp.float32) * scale,
+                                   (L, B, Ap), (1, 2)), kr)
+                vr = jnp.where(slot3 == ins,
+                               lax.broadcast_in_dim(
+                                   vbf.astype(jnp.float32),
+                                   (L, B, Ap), (1, 2)), vr)
+            qb = lax.broadcast_in_dim(q * scale, (L, B, Ap), (1, 2))
+            scores = jnp.sum(qb * kr, axis=-1)         # [L, B]
+            if lim is not None:
+                slots = lax.broadcasted_iota(jnp.int32, (L, B), 0)
+                scores = jnp.where(slots <= lim, scores, NEG)
+            # softmax over the slot axis via a [B, L] transpose: lane-axis
+            # keepdims softmax is the only formulation Mosaic compiles after
+            # a lane reduction (sublane-axis reductions on the [L, B] scores
+            # hit a replicated-layout relayout bug)
+            st = scores.T                              # [B, L]
+            smax = jnp.max(st, axis=-1, keepdims=True)
+            sexp = jnp.exp(st - smax)
+            w_att = (sexp / jnp.sum(sexp, axis=-1, keepdims=True)).T
+            sb = lax.broadcast_in_dim(w_att, (L, B, Ap), (0, 1))
+            o = jnp.sum(sb * vr, axis=0)               # [B, Ap]
+            o = o.astype(x.dtype).astype(jnp.float32)
+
+            # ---- proj pieces -------------------------------------------------
+            a_cols = []
+            for piece in range(n_pp):
+                slot = slot_of(g, lin)
+                piece_dma(j, lin % pieces_per_layer, g, slot).wait()
+                issue_next(j, lin, g)
+                w = canvas_rows(lin % pieces_per_layer, slot)
+                a_cols.append(jnp.dot(o, w,
+                                      preferred_element_type=jnp.float32)
+                              + p["b_proj"][g, piece])
+                lin += 1
+            a = jnp.concatenate(a_cols, axis=-1).astype(x.dtype)  # [B, S]
+
+            # ---- MLP ---------------------------------------------------------
+            r = x + a
+            rf = r.astype(jnp.float32)
+            mu = jnp.mean(rf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
+            um = ((rf - mu) * lax.rsqrt(var + 1e-5) * p["ln1_g"][g]
+                  + p["ln1_b"][g]).astype(x.dtype)
+
+            h_cols = []
+            for piece in range(n_m1):
+                slot = slot_of(g, lin)
+                piece_dma(j, lin % pieces_per_layer, g, slot).wait()
+                issue_next(j, lin, g)
+                w = canvas_rows(lin % pieces_per_layer, slot)
+                y = jnp.dot(um, w, preferred_element_type=jnp.float32)
+                h_cols.append(_quick_gelu(y + p["b_m1"][g, piece]))
+                lin += 1
+            h = jnp.concatenate(h_cols, axis=-1).astype(x.dtype)  # [B, Sm]
+
+            m_cols = []
+            for piece in range(n_m2):
+                slot = slot_of(g, lin)
+                piece_dma(j, lin % pieces_per_layer, g, slot).wait()
+                issue_next(j, lin, g)
+                w = canvas_rows(lin % pieces_per_layer, slot)
+                m_cols.append(jnp.dot(h, w,
+                                      preferred_element_type=jnp.float32)
+                              + p["b_m2"][g, piece])
+                lin += 1
+            m = jnp.concatenate(m_cols, axis=-1).astype(x.dtype)  # [B, S]
+
+            if res_scale == 1.0:
+                x = x + a + m
+            else:
+                x = x + (a + m) * jnp.asarray(res_scale, x.dtype)
+
+        x_out[:] = x
+        return 0
+
+    x_out[:] = x_in[:]
+    lax.fori_loop(0, G, group_body, 0)
+
+    # epilogue: final group's write-backs
+    for j in range(3):
+        _wb_dma(j, cache_w, kstage, vstage, wbsem, bc,
+                s_row, b_col, ring_w, G - 1, B).wait_all()
+
+
+class _WbPair:
+    """The pair of one-token write-back DMAs of layer j's k/v stages into
+    the group-g ring caches. Reconstructible so start and wait can live at
+    different pipeline points (same refs/sems)."""
+
+    def __init__(self, kd, vd):
+        self.kd, self.vd = kd, vd
+
+    def start_all(self):
+        self.kd.start()
+        self.vd.start()
+
+    def wait_all(self):
+        self.kd.wait()
+        self.vd.wait()
+
+
+def _wb_dma(j, cache_w, kstage, vstage, wbsem, bc,
+            s_row, b_col, ring_w, g, B):
+    ko, vo = cache_w[j]
+    if j == 0:
+        kdst, vdst = ko.at[g, s_row], vo.at[g, s_row]
+    elif j == 1:
+        kdst, vdst = ko.at[g, s_row, b_col], vo.at[g, s_row, b_col]
+    else:
+        kdst, vdst = ko.at[g, ring_w, s_row], vo.at[g, ring_w, s_row]
+    kd = pltpu.make_async_copy(kstage.at[pl.ds(j * B, B), :], kdst,
+                               wbsem.at[j, 0])
+    vd = pltpu.make_async_copy(vstage.at[pl.ds(j * B, B), :], vdst,
+                               wbsem.at[j, 1])
+    return _WbPair(kd, vd)
+
+
+# ---------------------------------------------------------------------------
+# Builder
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
+                       lane=128, dtype=jnp.bfloat16, interpret=False):
+    """Returns fn(flat_packed, caches6, x, t) -> (x_new, caches6).
+
+    flat_packed: list from _flatten_packed(pack_decode_params(p_seg, lane)).
+    caches6: kernel-layout caches from pack_caches(..., lane). x: [B, 1, S]
+    activation (cast to bf16). t: int32 scalar token position.
+    """
+    Ap = _round_up(A, lane)
+    PW = _piece_width(S, lane)
+    Smax = max(S, Sm, Ap)
+
+    kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, bc, blocks, G, B,
+                               res_scale)
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    anym = pl.BlockSpec(memory_space=pltpu.ANY)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    w_keys = {"w_qkv", "w_proj", "w_m1", "w_m2"}
+    param_specs = [anym if k in w_keys else vmem
+                   for _ in range(3) for k in _PACK_KEYS]
+    cache_specs = [anym] * 6
+
+    def fn(flat_packed, caches, x, t):
+        t2 = jnp.asarray(t, jnp.int32).reshape(1, 1)
+        x2 = x.reshape(B, S).astype(dtype)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(),
+            in_specs=[smem] + param_specs + cache_specs + [vmem],
+            out_specs=[vmem] + cache_specs,
+            out_shape=[jax.ShapeDtypeStruct((B, S), dtype)] + [
+                jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches],
+            scratch_shapes=[
+                pltpu.VMEM((2, Smax, max(Ap, PW)), dtype),  # weight canvas
+                pltpu.VMEM((max(bc, blocks), B, Ap), dtype),  # K read buf
+                pltpu.VMEM((max(bc, blocks), B, Ap), dtype),  # V read buf
+                pltpu.VMEM((3 * B, Ap), dtype),         # k write stage
+                pltpu.VMEM((3 * B, Ap), dtype),         # v write stage
+                pltpu.SemaphoreType.DMA((2,)),          # weight piece sems
+                pltpu.SemaphoreType.DMA((2,)),          # cache read sems
+                pltpu.SemaphoreType.DMA((3, 2)),        # write-back sems
+            ],
+            input_output_aliases={
+                # inputs: t(0), 36 params, 6 caches, x -> cache outputs 1..6
+                1 + len(param_specs) + i: 1 + i for i in range(6)},
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                has_side_effects=True),
+        )(t2, *flat_packed, *caches, x2)
+        x_new = outs[0].reshape(B, 1, S)
+        return x_new, tuple(outs[1:7])
+
+    return fn

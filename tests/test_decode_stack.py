@@ -1,0 +1,63 @@
+"""Whole-stack decode megakernel (ops/pallas/decode_stack.py) equivalence
+vs the reference XLA decode path, in Pallas interpret mode on CPU.
+
+The megakernel must reproduce Transformer.decode_step for an order-2
+([1,2,3]-cycle) stack token by token — outputs and ring caches — across
+block boundaries (the f2 column write, the f3 ring flip), group boundaries
+(the weight-piece pipeline crossing groups), and lane padding (lane=32 pads
+the A=16 attention width the way lane=128 pads the 480-wide upsamplers).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jukebox_tpu.models.transformer import Transformer
+from jukebox_tpu.ops.pallas.decode_stack import (_flatten_packed,
+                                                 build_stack_decode,
+                                                 pack_caches,
+                                                 pack_decode_params,
+                                                 unpack_caches)
+
+
+@pytest.mark.parametrize("lane,res_scale", [(8, False), (32, True)])
+def test_stack_decode_matches_xla_path(lane, res_scale):
+    S, A, n_ctx, blocks, depth, B = 64, 16, 16, 4, 6, 2
+    bc = n_ctx // blocks
+    G = depth // 3
+    tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=1, n_depth=depth,
+                     attn_order=2, blocks=blocks, m_attn=0.25, m_mlp=1.0,
+                     mask=True, res_scale=res_scale)
+    params = tr.init(jax.random.key(0))
+    dec_params = tr.prepare_decode_params(params)
+    caches = tr.init_cache_from_segments(dec_params, B, jnp.bfloat16)
+    assert len(tr.decode_plan) == 1 and tr.decode_plan[0][0] == "scan"
+
+    p_seg, c_seg = dec_params[0], caches[0]
+    packed = _flatten_packed(pack_decode_params(p_seg, lane=lane))
+    mk = jax.jit(build_stack_decode(
+        S, A, S, bc, blocks, G, B, lane=lane,
+        res_scale=(1.0 / depth) if res_scale else 1.0, interpret=True))
+    ref = jax.jit(lambda dp, c, x, t: tr.decode_step(dp, c, x, t, fp16=True,
+                                                     fp16_out=True))
+
+    c6 = pack_caches(c_seg, bc, lane=lane)
+    rng = np.random.RandomState(0)
+    xs = (0.5 * rng.randn(n_ctx, B, 1, S)).astype(np.float32)
+
+    for t in range(n_ctx):
+        x = jnp.asarray(xs[t], jnp.bfloat16)
+        y_ref, caches = ref(dec_params, caches, x, jnp.asarray(t))
+        y_mk, c6 = mk(packed, c6, x, jnp.asarray(t))
+        err = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)
+                                    - y_mk.astype(jnp.float32))))
+        mag = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-6
+        assert err < 0.03 * max(mag, 1.0), (t, err, mag)
+
+    c_std = unpack_caches(c6, A)
+    for cr, cm in zip(caches[0], c_std):
+        for key in ("k", "v"):
+            e = float(jnp.max(jnp.abs(cr[key].astype(jnp.float32)
+                                      - cm[key].astype(jnp.float32))))
+            assert e < 0.02, (key, e)
