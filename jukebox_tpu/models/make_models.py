@@ -287,6 +287,14 @@ class PriorRuntime:
             dec = quantize_dense_tree(dec)
         elif quantize:
             raise ValueError(f"unknown decode quantization {quantize!r}")
+        stack_default = "1" if jax.devices()[0].platform == "tpu" else "0"
+        if (quantize is None and mesh is None
+                and os.environ.get("JUKEBOX_STACK_KERNEL",
+                                   stack_default) != "0"):
+            # [1,2,3]-cycle segments decode through the whole-stack Pallas
+            # megakernel (ops/pallas/decode_stack): weights staged in its
+            # chunk-major layout (1.41x decode over the XLA scan on-chip)
+            dec = self.model.prior.transformer.pack_stack_segments(dec)
         light = dict(host)
         light["prior"] = {k: v for k, v in host["prior"].items()
                           if k != "transformer"}

@@ -339,9 +339,16 @@ class SimplePrior:
             # the decode loop reads x_cond every token and computes in bf16;
             # keeping the resident copy fp32 doubles both its HBM footprint
             # (0.8 GiB at 1b/bs=16) and the per-token conditioning stream
-            x_cond = x_cond.astype(jnp.bfloat16)
+            if x_cond is not None:
+                x_cond = x_cond.astype(jnp.bfloat16)
             if encoder_kv is not None:
                 encoder_kv = encoder_kv.astype(jnp.bfloat16)
+            if (dec_params is not None
+                    and prior.transformer.has_packed_segments(dec_params)):
+                # prefill -> decode boundary: convert packed segments' caches
+                # to the megakernel's slot-leading layout (once per window)
+                caches = prior.transformer.pack_segment_caches(dec_params,
+                                                               caches)
         return caches, x_tok, x_cond, y_cond, encoder_kv
 
     def sample_prefix_len(self, z=None):

@@ -376,13 +376,104 @@ class Transformer:
         the host when staging (stack=np.stack)."""
         return self._segment_trees(params["blocks"], stack=stack)
 
+    # -- whole-stack decode megakernel plumbing --------------------------------
+    # [1,2,3]-cycle scan segments (the upsampler stacks) can decode through
+    # ops/pallas/decode_stack: ONE kernel launch per token for the whole
+    # segment instead of ~10 XLA kernels per layer (1.41x measured at the
+    # 1b upsampler shape). Staging packs the segment's weights into the
+    # kernel's chunk-major layout; prefill reconstructs standard per-group
+    # params from the packed arrays on the fly (one transpose per group per
+    # chunk, ~0.2% of a window), and the caches convert standard -> kernel
+    # slot-leading layout once per window at the prefill->decode boundary.
+
+    def _stack_eligible(self, seg):
+        return (seg[0] == "scan" and tuple(seg[1]) == (1, 2, 3)
+                and self.n_head == 1 and self.blocks is not None)
+
+    def pack_stack_segments(self, dec_params, np_=None):
+        """Host-side: replace eligible scan segments' stacked trees with the
+        megakernel's packed layout ({"stack_packed": [...]})."""
+        import numpy as np
+        from jukebox_tpu.ops.pallas.decode_stack import (_flatten_packed,
+                                                         pack_decode_params)
+        out = []
+        for seg, p_seg in zip(self.decode_plan, dec_params):
+            if self._stack_eligible(seg):
+                packed = pack_decode_params(p_seg, np_=np_ or np)
+                out.append({"stack_packed": _flatten_packed(packed)})
+            else:
+                out.append(p_seg)
+        return out
+
+    def pack_segment_caches(self, dec_params, caches):
+        """Standard-layout caches -> kernel layout for packed segments (the
+        one-per-window prefill->decode boundary conversion). bf16 only."""
+        from jukebox_tpu.ops.pallas.decode_stack import pack_caches
+        out = []
+        for seg, p_seg, c_seg in zip(self.decode_plan, dec_params, caches):
+            if (isinstance(p_seg, dict) and "stack_packed" in p_seg
+                    and not (isinstance(c_seg, tuple) and len(c_seg) == 6)):
+                out.append(pack_caches(c_seg, self.n_ctx // self.blocks))
+            else:
+                out.append(c_seg)
+        return out
+
+    def has_packed_segments(self, dec_params):
+        return any(isinstance(p, dict) and "stack_packed" in p
+                   for p in dec_params)
+
+    def _recon_group(self, flat_g):
+        """Rebuild the 3 layers' standard param trees from one group's
+        packed slices (prefill / pre-conversion decode path)."""
+        from jukebox_tpu.ops.pallas.decode_stack import _PACK_KEYS
+        S = self.n_in
+        A = int(self.m_attn * S)
+        per = len(_PACK_KEYS)
+        trees = []
+        for j in range(3):
+            d = dict(zip(_PACK_KEYS, flat_g[j * per:(j + 1) * per]))
+            wq = d["w_qkv"]                            # [3, S, Ap]
+            w_attn = jnp.moveaxis(wq[..., :A], 0, 1).reshape(S, 3 * A)
+            b_attn = d["b_qkv"][:, :A].reshape(3 * A)
+            wp = d["w_proj"]                           # [n_pp, Ap, PW]
+            w_proj = jnp.moveaxis(wp, 0, 1).reshape(wp.shape[1], S)[:A]
+            w1 = d["w_m1"]                             # [n_m1, S, PW]
+            Sm = w1.shape[0] * w1.shape[2]
+            w_m1 = jnp.moveaxis(w1, 0, 1).reshape(S, Sm)
+            w2 = d["w_m2"]                             # [n_m2, Sm, PW]
+            w_m2 = jnp.moveaxis(w2, 0, 1).reshape(Sm, S)
+            trees.append({
+                "attn": {"c_attn": {"w": w_attn, "b": b_attn},
+                         "c_proj": {"w": w_proj,
+                                    "b": d["b_proj"].reshape(S)}},
+                "mlp": {"c_fc": {"w": w_m1, "b": d["b_m1"].reshape(Sm)},
+                        "c_proj": {"w": w_m2, "b": d["b_m2"].reshape(S)}},
+                "ln_0": {"g": d["ln0_g"], "b": d["ln0_b"]},
+                "ln_1": {"g": d["ln1_g"], "b": d["ln1_b"]},
+            })
+        return trees
+
     def init_cache_from_segments(self, dec_params, bs, dtype, encoder_kv=None,
                                  sample_ctx=None):
         """Build decode caches directly from segment-shaped params (so raw
         per-layer params never need to exist on device)."""
         out = []
         for seg, p_seg in zip(self.decode_plan, dec_params):
-            if seg[0] == "flat":
+            if isinstance(p_seg, dict) and "stack_packed" in p_seg:
+                # standard layout (prefill writes these); converted to the
+                # kernel layout once per window by pack_segment_caches
+                _, pat, starts = seg
+                n_groups = len(starts)
+                caches = []
+                for f in pat:
+                    attn = self.block_cfg_f(f).attn
+                    one = attn.init_cache(None, bs, dtype,
+                                          sample_ctx=sample_ctx)
+                    caches.append(jax.tree_util.tree_map(
+                        lambda c: jnp.zeros((n_groups, *c.shape), c.dtype),
+                        one))
+                out.append(tuple(caches))
+            elif seg[0] == "flat":
                 cfg = self.block_cfg(seg[1])
                 enc = encoder_kv if cfg.attn_func == 6 else None
                 out.append(cfg.attn.init_cache(p_seg["attn"], bs, dtype,
@@ -432,6 +523,47 @@ class Transformer:
         segments."""
         new_caches = []
         for seg, p_seg, c_seg in zip(self.decode_plan, dec_params, caches):
+            if isinstance(p_seg, dict) and "stack_packed" in p_seg:
+                flat = p_seg["stack_packed"]
+                kernel_caches = isinstance(c_seg, tuple) and len(c_seg) == 6
+                if method == "decode_step" and kernel_caches:
+                    # whole-segment megakernel: one launch per token
+                    from jukebox_tpu.ops.pallas.decode_stack import \
+                        build_stack_decode
+                    assert x.dtype == jnp.bfloat16, \
+                        "stack kernel decodes bf16 (fp16=True)"
+                    S = self.n_in
+                    A = int(self.m_attn * S)
+                    G = flat[0].shape[0]
+                    cfg1 = self.block_cfg_f(1)
+                    mk = build_stack_decode(
+                        S, A, int(self.m_mlp * S), self.n_ctx // self.blocks,
+                        self.blocks, G, x.shape[0],
+                        res_scale=cfg1.res_scale,
+                        interpret=jax.devices()[0].platform == "cpu")
+                    x, nc = mk(flat, c_seg, x, args[0])
+                else:
+                    # prefill (or pre-conversion decode tail): reconstruct
+                    # standard per-group params from the packed arrays
+                    _, pat, starts = seg
+
+                    def body(carry, inp, _pat=pat):
+                        h, gc = carry
+                        flat_g, g = inp
+                        trees = self._recon_group(flat_g)
+                        ncs = []
+                        for j, f in enumerate(_pat):
+                            h, c = getattr(self.block_cfg_f(f), method)(
+                                trees[j], gc[j], h, *args, encoder_kv=None,
+                                g=g)
+                            ncs.append(c)
+                        return (h, tuple(ncs)), ()
+
+                    (x, nc), _ = jax.lax.scan(
+                        body, (x, tuple(c_seg)),
+                        (flat, jnp.arange(len(seg[2]))))
+                new_caches.append(nc)
+                continue
             if seg[0] == "flat":
                 cfg = self.block_cfg(seg[1])
                 enc = encoder_kv if cfg.attn_func == 6 else None

@@ -56,7 +56,13 @@ def _piece_width(S, lane, cap=512):
     for d in range(min(S, cap), 0, -1):
         if S % d == 0 and d % lane == 0:
             return d
-    raise ValueError(f"no lane-aligned piece width for S={S}, lane={lane}")
+    # no lane-aligned divisor (tiny test widths): whole-matmul pieces.
+    # Unaligned pieces only compile in interpret mode — production widths
+    # (all jukebox upsamplers) have lane-aligned divisors.
+    for d in range(min(S, cap), 0, -1):
+        if S % d == 0:
+            return d
+    raise ValueError(f"no piece width for S={S}")
 
 
 # ---------------------------------------------------------------------------
@@ -120,10 +126,12 @@ def pack_decode_params(p_seg, lane=128, np_=np):
             w_proj=cols(wp_pad, PW).astype(bf16),   # [G, S//PW, Ap, PW]
             w_m1=cols(w1, PW).astype(bf16),         # [G, Sm//PW, S, PW]
             w_m2=cols(w2, PW).astype(bf16),         # [G, S//PW, Sm, PW]
-            b_qkv=bq3.astype(np_.float32),
-            b_proj=bp.reshape(G, S // PW, PW).astype(np_.float32),
-            b_m1=b1.reshape(G, Sm // PW, PW).astype(np_.float32),
-            b_m2=b2.reshape(G, S // PW, PW).astype(np_.float32),
+            # biases in the activation dtype (the XLA dense path casts b to
+            # x.dtype too); LN params stay fp32 like ops.core.layer_norm
+            b_qkv=bq3.astype(bf16),
+            b_proj=bp.reshape(G, S // PW, PW).astype(bf16),
+            b_m1=b1.reshape(G, Sm // PW, PW).astype(bf16),
+            b_m2=b2.reshape(G, S // PW, PW).astype(bf16),
             ln0_g=np_.asarray(p["ln_0"]["g"], np_.float32),
             ln0_b=np_.asarray(p["ln_0"]["b"], np_.float32),
             ln1_g=np_.asarray(p["ln_1"]["g"], np_.float32),
@@ -211,7 +219,7 @@ def _quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale,
+def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
             t_ref, *refs):
     """refs: 3×12 packed param refs (weights ANY, biases/LN VMEM), 6 cache
     refs (ANY), x_in; outputs x_out + 6 aliased cache outs; scratch: canvas,
@@ -241,7 +249,9 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale,
     cache_w = {0: (k1o, v1o), 1: (k2o, v2o), 2: (k3o, v3o)}
     tot_pg = pieces_per_layer * 3
 
-    # -- weight-piece DMA plumbing (guide double-buffer pattern, 1-ahead) ---
+    # -- weight-piece DMA plumbing: N_SLOTS-deep pipeline, issued
+    #    (N_SLOTS-1) ahead so the DMA queue stays full through the attention
+    #    bubble between the qkv and proj pieces ----------------------------
     def piece_geom(local):
         """(key, piece_idx, rows, cols) for layer-local piece index."""
         if local < 3:
@@ -261,27 +271,32 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale,
                                      wsem.at[slot])
 
     def slot_of(g, lin):
-        return (g * tot_pg + lin) % 2
+        return (g * tot_pg + lin) % N_SLOTS
 
     def issue_next(j_cur, lin, g):
-        """After consuming piece lin, start the DMA for piece lin+1."""
-        nxt = lin + 1
+        """After consuming piece lin, start the DMA for piece
+        lin + N_SLOTS - 1 (its slot was freed N_SLOTS-1 consumptions ago)."""
+        nxt = lin + N_SLOTS - 1
         if nxt < tot_pg:
             nj, nl = divmod(nxt, pieces_per_layer)
             piece_dma(nj, nl, g, slot_of(g, nxt)).start()
         else:
+            nl = nxt - tot_pg
+            nj, nl = divmod(nl, pieces_per_layer)
             @pl.when(g + 1 < G)
             def _():
-                piece_dma(0, 0, jnp.minimum(g + 1, G - 1),
-                          slot_of(g + 1, 0)).start()
+                piece_dma(nj, nl, jnp.minimum(g + 1, G - 1),
+                          slot_of(g + 1, nxt - tot_pg)).start()
 
     # canvas views by geometry (compute side)
     def canvas_rows(local, slot):
         _, _, rows, cols = piece_geom(local)
         return canvas[slot, :rows, :cols]
 
-    # warm-up: first piece of group 0 (slot 0)
-    piece_dma(0, 0, 0, 0).start()
+    # warm-up: first N_SLOTS-1 pieces of group 0
+    for c in range(min(N_SLOTS - 1, tot_pg)):
+        nj, nl = divmod(c, pieces_per_layer)
+        piece_dma(nj, nl, 0, c % N_SLOTS).start()
 
     # -- cache read DMAs (slot-leading layouts; dynamic index on leading
     #    dims only) ----------------------------------------------------------
@@ -354,35 +369,38 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale,
             # buffers are slot-leading [L, B, Ap]; batched matvecs become
             # VPU broadcast-multiply-reduce (Mosaic supports neither
             # mid-axis shape casts nor batched dots with an empty lhs
-            # non-contracting set), and the current token's K/V are merged
-            # into the loaded values with a `where` on the slot axis.
+            # non-contracting set). The current token's K/V never touch the
+            # [L, B, Ap] buffers: its score is patched into the [B, L]
+            # score matrix, and its value contribution is added as
+            # w_ins * v_new after zeroing the stale slot's weight — O(B·L)
+            # and O(B·Ap) fixups instead of O(L·B·Ap) merge passes.
             kr = kbuf[:L].astype(jnp.float32) * scale
             vr = vbuf[:L].astype(jnp.float32)
-            slot3 = lax.broadcasted_iota(jnp.int32, (L, B, Ap), 0)
+            qs = q * scale
+            qb = lax.broadcast_in_dim(qs, (L, B, Ap), (1, 2))
+            # [B, L] orientation: lane-axis softmax is the only formulation
+            # Mosaic compiles after a lane reduction (sublane-axis keepdims
+            # hits a replicated-layout relayout bug)
+            st = jnp.sum(qb * kr, axis=-1).T           # [B, L]
+            cols = lax.broadcasted_iota(jnp.int32, (B, L), 1)
             if ins is not None:
-                kr = jnp.where(slot3 == ins,
-                               lax.broadcast_in_dim(
-                                   kbf.astype(jnp.float32) * scale,
-                                   (L, B, Ap), (1, 2)), kr)
-                vr = jnp.where(slot3 == ins,
-                               lax.broadcast_in_dim(
-                                   vbf.astype(jnp.float32),
-                                   (L, B, Ap), (1, 2)), vr)
-            qb = lax.broadcast_in_dim(q * scale, (L, B, Ap), (1, 2))
-            scores = jnp.sum(qb * kr, axis=-1)         # [L, B]
+                sc_new = jnp.sum(qs * kbf.astype(jnp.float32) * scale,
+                                 axis=-1, keepdims=True)       # [B, 1]
+                st = jnp.where(cols == ins, sc_new, st)
             if lim is not None:
-                slots = lax.broadcasted_iota(jnp.int32, (L, B), 0)
-                scores = jnp.where(slots <= lim, scores, NEG)
-            # softmax over the slot axis via a [B, L] transpose: lane-axis
-            # keepdims softmax is the only formulation Mosaic compiles after
-            # a lane reduction (sublane-axis reductions on the [L, B] scores
-            # hit a replicated-layout relayout bug)
-            st = scores.T                              # [B, L]
+                st = jnp.where(cols <= lim, st, NEG)
             smax = jnp.max(st, axis=-1, keepdims=True)
             sexp = jnp.exp(st - smax)
-            w_att = (sexp / jnp.sum(sexp, axis=-1, keepdims=True)).T
+            w_bl = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
+            if ins is not None:
+                w_ins = jnp.sum(jnp.where(cols == ins, w_bl, 0.0),
+                                axis=-1, keepdims=True)        # [B, 1]
+                w_bl = jnp.where(cols == ins, 0.0, w_bl)
+            w_att = w_bl.T                             # [L, B]
             sb = lax.broadcast_in_dim(w_att, (L, B, Ap), (0, 1))
             o = jnp.sum(sb * vr, axis=0)               # [B, Ap]
+            if ins is not None:
+                o = o + w_ins * vbf.astype(jnp.float32)
             o = o.astype(x.dtype).astype(jnp.float32)
 
             # ---- proj pieces -------------------------------------------------
@@ -485,7 +503,8 @@ def _wb_dma(j, cache_w, kstage, vstage, wbsem, bc,
 
 @functools.lru_cache(maxsize=None)
 def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
-                       lane=128, dtype=jnp.bfloat16, interpret=False):
+                       lane=128, n_slots=4, dtype=jnp.bfloat16,
+                       interpret=False):
     """Returns fn(flat_packed, caches6, x, t) -> (x_new, caches6).
 
     flat_packed: list from _flatten_packed(pack_decode_params(p_seg, lane)).
@@ -497,7 +516,7 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     Smax = max(S, Sm, Ap)
 
     kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, bc, blocks, G, B,
-                               res_scale)
+                               res_scale, n_slots)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -518,12 +537,12 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
             out_shape=[jax.ShapeDtypeStruct((B, S), dtype)] + [
                 jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches],
             scratch_shapes=[
-                pltpu.VMEM((2, Smax, max(Ap, PW)), dtype),  # weight canvas
+                pltpu.VMEM((n_slots, Smax, max(Ap, PW)), dtype),  # canvas
                 pltpu.VMEM((max(bc, blocks), B, Ap), dtype),  # K read buf
                 pltpu.VMEM((max(bc, blocks), B, Ap), dtype),  # V read buf
                 pltpu.VMEM((3 * B, Ap), dtype),         # k write stage
                 pltpu.VMEM((3 * B, Ap), dtype),         # v write stage
-                pltpu.SemaphoreType.DMA((2,)),          # weight piece sems
+                pltpu.SemaphoreType.DMA((n_slots,)),    # weight piece sems
                 pltpu.SemaphoreType.DMA((2,)),          # cache read sems
                 pltpu.SemaphoreType.DMA((3, 2)),        # write-back sems
             ],

@@ -1,0 +1,77 @@
+"""Integration of the whole-stack decode megakernel into the staged decode
+path: packed-weight staging (pack_stack_segments), prefill over packed
+params (per-group reconstruction), the prefill -> decode cache-layout
+conversion (pack_segment_caches), and the decode_step dispatch — all vs the
+standard XLA segment path, interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jukebox_tpu.models.transformer import Transformer
+
+
+def _setup():
+    S, n_ctx, blocks, depth, B = 64, 16, 4, 6, 2
+    tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=1, n_depth=depth,
+                     attn_order=2, blocks=blocks, m_attn=0.25, m_mlp=1.0,
+                     mask=True)
+    params = tr.init(jax.random.key(0))
+    dec = tr.prepare_decode_params(params)
+    packed = tr.pack_stack_segments(dec)
+    assert tr.has_packed_segments(packed)
+    assert not tr.has_packed_segments(dec)
+    return tr, dec, packed, (S, n_ctx, blocks, B)
+
+
+def test_packed_prefill_matches_standard():
+    tr, dec, packed, (S, n_ctx, blocks, B) = _setup()
+    rng = np.random.RandomState(0)
+    x_chunk = jnp.asarray(0.5 * rng.randn(B, 8, S), jnp.bfloat16)  # 2 blocks
+
+    c_std = tr.init_cache_from_segments(dec, B, jnp.bfloat16)
+    c_pkd = tr.init_cache_from_segments(packed, B, jnp.bfloat16)
+    y_std, c_std = tr.prefill_chunk(dec, c_std, x_chunk, jnp.int32(0), 2,
+                                    fp16=True, fp16_out=True)
+    y_pkd, c_pkd = tr.prefill_chunk(packed, c_pkd, x_chunk, jnp.int32(0), 2,
+                                    fp16=True, fp16_out=True)
+    err = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)
+                                - y_pkd.astype(jnp.float32))))
+    assert err < 0.02, err
+    for a, b in zip(jax.tree_util.tree_leaves(c_std),
+                    jax.tree_util.tree_leaves(c_pkd)):
+        e = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - b.astype(jnp.float32))))
+        assert e < 0.02, e
+
+
+def test_packed_decode_after_conversion_matches_standard():
+    tr, dec, packed, (S, n_ctx, blocks, B) = _setup()
+    rng = np.random.RandomState(1)
+    x_chunk = jnp.asarray(0.5 * rng.randn(B, 8, S), jnp.bfloat16)
+
+    c_std = tr.init_cache_from_segments(dec, B, jnp.bfloat16)
+    c_pkd = tr.init_cache_from_segments(packed, B, jnp.bfloat16)
+    _, c_std = tr.prefill_chunk(dec, c_std, x_chunk, jnp.int32(0), 2,
+                                fp16=True)
+    _, c_pkd = tr.prefill_chunk(packed, c_pkd, x_chunk, jnp.int32(0), 2,
+                                fp16=True)
+    # prefill -> decode boundary: convert to the kernel cache layout
+    c_pkd = tr.pack_segment_caches(packed, c_pkd)
+    assert isinstance(c_pkd[0], tuple) and len(c_pkd[0]) == 6
+    # idempotent on already-converted caches
+    assert tr.pack_segment_caches(packed, c_pkd)[0] is c_pkd[0]
+
+    ref = jax.jit(lambda c, x, t: tr.decode_step(dec, c, x, t, fp16=True,
+                                                 fp16_out=True))
+    mkp = jax.jit(lambda c, x, t: tr.decode_step(packed, c, x, t, fp16=True,
+                                                 fp16_out=True))
+    for t in range(8, n_ctx):
+        x = jnp.asarray(0.5 * rng.randn(B, 1, S), jnp.bfloat16)
+        y_std, c_std = ref(c_std, x, jnp.asarray(t))
+        y_pkd, c_pkd = mkp(c_pkd, x, jnp.asarray(t))
+        err = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)
+                                    - y_pkd.astype(jnp.float32))))
+        mag = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)))) + 1e-6
+        assert err < 0.03 * max(mag, 1.0), (t, err, mag)
