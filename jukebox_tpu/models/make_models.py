@@ -282,19 +282,22 @@ class PriorRuntime:
         tr = host["prior"]["transformer"]
         dec = self.model.prior.transformer.prepare_decode_params(
             tr, stack=np.stack)
-        if quantize == "int8":
-            from jukebox_tpu.ops.core import quantize_dense_tree
-            dec = quantize_dense_tree(dec)
-        elif quantize:
+        if quantize not in (None, "int8"):
             raise ValueError(f"unknown decode quantization {quantize!r}")
         stack_default = "1" if jax.devices()[0].platform == "tpu" else "0"
-        if (quantize is None and mesh is None
-                and os.environ.get("JUKEBOX_STACK_KERNEL",
-                                   stack_default) != "0"):
+        if (mesh is None and os.environ.get("JUKEBOX_STACK_KERNEL",
+                                            stack_default) != "0"):
             # [1,2,3]-cycle segments decode through the whole-stack Pallas
             # megakernel (ops/pallas/decode_stack): weights staged in its
-            # chunk-major layout (1.41x decode over the XLA scan on-chip)
-            dec = self.model.prior.transformer.pack_stack_segments(dec)
+            # chunk-major layout (+42% decode over the XLA scan on-chip;
+            # int8 packing additionally halves the weight stream)
+            dec = self.model.prior.transformer.pack_stack_segments(
+                dec, quantize=quantize == "int8")
+        if quantize == "int8":
+            # remaining (non-packed) segments: weight-only int8 dense form;
+            # quantize_dense_tree leaves the packed dicts untouched
+            from jukebox_tpu.ops.core import quantize_dense_tree
+            dec = quantize_dense_tree(dec)
         light = dict(host)
         light["prior"] = {k: v for k, v in host["prior"].items()
                           if k != "transformer"}

@@ -390,16 +390,19 @@ class Transformer:
         return (seg[0] == "scan" and tuple(seg[1]) == (1, 2, 3)
                 and self.n_head == 1 and self.blocks is not None)
 
-    def pack_stack_segments(self, dec_params, np_=None):
+    def pack_stack_segments(self, dec_params, np_=None, quantize=False):
         """Host-side: replace eligible scan segments' stacked trees with the
-        megakernel's packed layout ({"stack_packed": [...]})."""
+        megakernel's packed layout ({"stack_packed": [...]}). quantize=True
+        stores the weights as int8 with per-out-column scales (halves the
+        per-token weight stream)."""
         import numpy as np
         from jukebox_tpu.ops.pallas.decode_stack import (_flatten_packed,
                                                          pack_decode_params)
         out = []
         for seg, p_seg in zip(self.decode_plan, dec_params):
             if self._stack_eligible(seg):
-                packed = pack_decode_params(p_seg, np_=np_ or np)
+                packed = pack_decode_params(p_seg, np_=np_ or np,
+                                            quantize=quantize)
                 out.append({"stack_packed": _flatten_packed(packed)})
             else:
                 out.append(p_seg)
@@ -424,14 +427,23 @@ class Transformer:
 
     def _recon_group(self, flat_g):
         """Rebuild the 3 layers' standard param trees from one group's
-        packed slices (prefill / pre-conversion decode path)."""
-        from jukebox_tpu.ops.pallas.decode_stack import _PACK_KEYS
+        packed slices (prefill / pre-conversion decode path). int8-packed
+        segments reconstruct dense's weight-only-int8 form ({"w_q","s","b"})
+        so the prefill matmuls stay int8-streamed too."""
+        from jukebox_tpu.ops.pallas.decode_stack import _pack_keys
         S = self.n_in
         A = int(self.m_attn * S)
-        per = len(_PACK_KEYS)
+        quant = len(flat_g) == 3 * len(_pack_keys(True))
+        keys = _pack_keys(quant)
+        per = len(keys)
         trees = []
+
+        def dense_p(w, b, s=None):
+            return {"w": w, "b": b} if s is None else \
+                {"w_q": w, "b": b, "s": s}
+
         for j in range(3):
-            d = dict(zip(_PACK_KEYS, flat_g[j * per:(j + 1) * per]))
+            d = dict(zip(keys, flat_g[j * per:(j + 1) * per]))
             wq = d["w_qkv"]                            # [3, S, Ap]
             w_attn = jnp.moveaxis(wq[..., :A], 0, 1).reshape(S, 3 * A)
             b_attn = d["b_qkv"][:, :A].reshape(3 * A)
@@ -442,12 +454,19 @@ class Transformer:
             w_m1 = jnp.moveaxis(w1, 0, 1).reshape(S, Sm)
             w2 = d["w_m2"]                             # [n_m2, Sm, PW]
             w_m2 = jnp.moveaxis(w2, 0, 1).reshape(Sm, S)
+            if quant:
+                s_attn = d["s_qkv"][:, :A].reshape(3 * A)
+                s_proj = d["s_proj"].reshape(S)
+                s_m1 = d["s_m1"].reshape(Sm)
+                s_m2 = d["s_m2"].reshape(S)
+            else:
+                s_attn = s_proj = s_m1 = s_m2 = None
             trees.append({
-                "attn": {"c_attn": {"w": w_attn, "b": b_attn},
-                         "c_proj": {"w": w_proj,
-                                    "b": d["b_proj"].reshape(S)}},
-                "mlp": {"c_fc": {"w": w_m1, "b": d["b_m1"].reshape(Sm)},
-                        "c_proj": {"w": w_m2, "b": d["b_m2"].reshape(S)}},
+                "attn": {"c_attn": dense_p(w_attn, b_attn, s_attn),
+                         "c_proj": dense_p(w_proj, d["b_proj"].reshape(S),
+                                           s_proj)},
+                "mlp": {"c_fc": dense_p(w_m1, d["b_m1"].reshape(Sm), s_m1),
+                        "c_proj": dense_p(w_m2, d["b_m2"].reshape(S), s_m2)},
                 "ln_0": {"g": d["ln0_g"], "b": d["ln0_b"]},
                 "ln_1": {"g": d["ln1_g"], "b": d["ln1_b"]},
             })
@@ -528,8 +547,8 @@ class Transformer:
                 kernel_caches = isinstance(c_seg, tuple) and len(c_seg) == 6
                 if method == "decode_step" and kernel_caches:
                     # whole-segment megakernel: one launch per token
-                    from jukebox_tpu.ops.pallas.decode_stack import \
-                        build_stack_decode
+                    from jukebox_tpu.ops.pallas.decode_stack import (
+                        _pack_keys, build_stack_decode)
                     assert x.dtype == jnp.bfloat16, \
                         "stack kernel decodes bf16 (fp16=True)"
                     S = self.n_in
@@ -540,6 +559,7 @@ class Transformer:
                         S, A, int(self.m_mlp * S), self.n_ctx // self.blocks,
                         self.blocks, G, x.shape[0],
                         res_scale=cfg1.res_scale,
+                        quantized=len(flat) == 3 * len(_pack_keys(True)),
                         interpret=jax.devices()[0].platform == "cpu")
                     x, nc = mk(flat, c_seg, x, args[0])
                 else:

@@ -69,7 +69,7 @@ def _piece_width(S, lane, cap=512):
 # Host-side packing: stacked scan-segment params -> chunk-major arrays
 # ---------------------------------------------------------------------------
 
-def pack_decode_params(p_seg, lane=128, np_=np):
+def pack_decode_params(p_seg, lane=128, np_=np, quantize=False):
     """Pack a ("scan", (1,2,3), starts) segment's stacked params (tuple of 3
     trees, each leaf [G, ...]) into the chunk-major, lane-padded layout the
     kernel DMAs:
@@ -121,7 +121,7 @@ def pack_decode_params(p_seg, lane=128, np_=np):
             wp_pad = wp
 
         bf16 = jnp.bfloat16
-        packed.append(dict(
+        d = dict(
             w_qkv=wq3.astype(bf16),
             w_proj=cols(wp_pad, PW).astype(bf16),   # [G, S//PW, Ap, PW]
             w_m1=cols(w1, PW).astype(bf16),         # [G, Sm//PW, S, PW]
@@ -136,17 +136,35 @@ def pack_decode_params(p_seg, lane=128, np_=np):
             ln0_b=np_.asarray(p["ln_0"]["b"], np_.float32),
             ln1_g=np_.asarray(p["ln_1"]["g"], np_.float32),
             ln1_b=np_.asarray(p["ln_1"]["b"], np_.float32),
-        ))
+        )
+        if quantize:
+            # weight-only int8, per-out-column absmax scales over the input
+            # axis (exactly ops.core.quantize_dense); halves the per-token
+            # HBM weight stream. The matmul dequantises AFTER accumulation
+            # (scales per out column factor out of the contraction).
+            for key in ("w_qkv", "w_proj", "w_m1", "w_m2"):
+                w = np_.asarray(d[key], np_.float32)
+                s = np_.max(np_.abs(w), axis=-2, keepdims=True) / 127.0
+                s = np_.maximum(s, 1e-12)
+                d[key] = np_.clip(np_.round(w / s), -127, 127).astype(np_.int8)
+                d["s" + key[1:]] = s[..., 0, :].astype(np_.float32)
+        packed.append(d)
     return packed
 
 
 _PACK_KEYS = ("w_qkv", "w_proj", "w_m1", "w_m2",
               "b_qkv", "b_proj", "b_m1", "b_m2",
               "ln0_g", "ln0_b", "ln1_g", "ln1_b")
+_SCALE_KEYS = ("s_qkv", "s_proj", "s_m1", "s_m2")
+
+
+def _pack_keys(quantize):
+    return _PACK_KEYS + _SCALE_KEYS if quantize else _PACK_KEYS
 
 
 def _flatten_packed(packed):
-    return [packed[j][k] for j in range(3) for k in _PACK_KEYS]
+    keys = _pack_keys("s_qkv" in packed[0])
+    return [packed[j][k] for j in range(3) for k in keys]
 
 
 # ---------------------------------------------------------------------------
@@ -220,16 +238,18 @@ def _quick_gelu(x):
 
 
 def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
-            t_ref, *refs):
-    """refs: 3×12 packed param refs (weights ANY, biases/LN VMEM), 6 cache
-    refs (ANY), x_in; outputs x_out + 6 aliased cache outs; scratch: canvas,
-    kbuf, vbuf, kstage, vstage, wsem, crsem, wbsem."""
+            quantized, t_ref, *refs):
+    """refs: 3×12 (or 3×16 with int8 scales) packed param refs (weights ANY,
+    biases/LN/scales VMEM), 6 cache refs (ANY), x_in; outputs x_out + 6
+    aliased cache outs; scratch: canvas, kbuf, vbuf, kstage, vstage, wsem,
+    crsem, wbsem."""
     n_pp = S // PW
     n_m1 = Sm // PW
     n_m2 = S // PW
     pieces_per_layer = 3 + n_pp + n_m1 + n_m2
-    per = len(_PACK_KEYS)
-    params = [dict(zip(_PACK_KEYS, refs[j * per:(j + 1) * per]))
+    keys = _pack_keys(quantized)
+    per = len(keys)
+    params = [dict(zip(keys, refs[j * per:(j + 1) * per]))
               for j in range(3)]
     off = 3 * per
     k1, v1, k2, v2, k3, v3 = refs[off:off + 6]
@@ -293,6 +313,17 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
         _, _, rows, cols = piece_geom(local)
         return canvas[slot, :rows, :cols]
 
+    def piece_mm(uv, j, local, slot, g):
+        """uv @ piece (fp32 accumulate), dequantised per out column when the
+        weights are int8 (weight-only; scales factor out of the dot)."""
+        key, idx, _, _ = piece_geom(local)
+        w = canvas_rows(local, slot)
+        y = jnp.dot(uv, w.astype(uv.dtype),
+                    preferred_element_type=jnp.float32)
+        if quantized:
+            y = y * params[j]["s" + key[1:]][g, idx]
+        return y
+
     # warm-up: first N_SLOTS-1 pieces of group 0
     for c in range(min(N_SLOTS - 1, tot_pg)):
         nj, nl = divmod(c, pieces_per_layer)
@@ -345,8 +376,7 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
                 slot = slot_of(g, lin)
                 piece_dma(j, lin % pieces_per_layer, g, slot).wait()
                 issue_next(j, lin, g)
-                w = canvas_rows(lin % pieces_per_layer, slot)
-                qkv.append(jnp.dot(u, w, preferred_element_type=jnp.float32)
+                qkv.append(piece_mm(u, j, lin % pieces_per_layer, slot, g)
                            + p["b_qkv"][g, piece])
                 lin += 1
             q, k, v = qkv                              # [B, Ap] fp32
@@ -409,9 +439,7 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
                 slot = slot_of(g, lin)
                 piece_dma(j, lin % pieces_per_layer, g, slot).wait()
                 issue_next(j, lin, g)
-                w = canvas_rows(lin % pieces_per_layer, slot)
-                a_cols.append(jnp.dot(o, w,
-                                      preferred_element_type=jnp.float32)
+                a_cols.append(piece_mm(o, j, lin % pieces_per_layer, slot, g)
                               + p["b_proj"][g, piece])
                 lin += 1
             a = jnp.concatenate(a_cols, axis=-1).astype(x.dtype)  # [B, S]
@@ -429,8 +457,7 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
                 slot = slot_of(g, lin)
                 piece_dma(j, lin % pieces_per_layer, g, slot).wait()
                 issue_next(j, lin, g)
-                w = canvas_rows(lin % pieces_per_layer, slot)
-                y = jnp.dot(um, w, preferred_element_type=jnp.float32)
+                y = piece_mm(um, j, lin % pieces_per_layer, slot, g)
                 h_cols.append(_quick_gelu(y + p["b_m1"][g, piece]))
                 lin += 1
             h = jnp.concatenate(h_cols, axis=-1).astype(x.dtype)  # [B, Sm]
@@ -440,9 +467,7 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
                 slot = slot_of(g, lin)
                 piece_dma(j, lin % pieces_per_layer, g, slot).wait()
                 issue_next(j, lin, g)
-                w = canvas_rows(lin % pieces_per_layer, slot)
-                m_cols.append(jnp.dot(h, w,
-                                      preferred_element_type=jnp.float32)
+                m_cols.append(piece_mm(h, j, lin % pieces_per_layer, slot, g)
                               + p["b_m2"][g, piece])
                 lin += 1
             m = jnp.concatenate(m_cols, axis=-1).astype(x.dtype)  # [B, S]
@@ -504,7 +529,7 @@ def _wb_dma(j, cache_w, kstage, vstage, wbsem, bc,
 @functools.lru_cache(maxsize=None)
 def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                        lane=128, n_slots=4, dtype=jnp.bfloat16,
-                       interpret=False):
+                       quantized=False, interpret=False):
     """Returns fn(flat_packed, caches6, x, t) -> (x_new, caches6).
 
     flat_packed: list from _flatten_packed(pack_decode_params(p_seg, lane)).
@@ -516,15 +541,16 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     Smax = max(S, Sm, Ap)
 
     kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, bc, blocks, G, B,
-                               res_scale, n_slots)
+                               res_scale, n_slots, quantized)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pltpu.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     w_keys = {"w_qkv", "w_proj", "w_m1", "w_m2"}
     param_specs = [anym if k in w_keys else vmem
-                   for _ in range(3) for k in _PACK_KEYS]
+                   for _ in range(3) for k in _pack_keys(quantized)]
     cache_specs = [anym] * 6
+    canvas_dtype = jnp.int8 if quantized else dtype
 
     def fn(flat_packed, caches, x, t):
         t2 = jnp.asarray(t, jnp.int32).reshape(1, 1)
@@ -537,7 +563,7 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
             out_shape=[jax.ShapeDtypeStruct((B, S), dtype)] + [
                 jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches],
             scratch_shapes=[
-                pltpu.VMEM((n_slots, Smax, max(Ap, PW)), dtype),  # canvas
+                pltpu.VMEM((n_slots, Smax, max(Ap, PW)), canvas_dtype),
                 pltpu.VMEM((max(bc, blocks), B, Ap), dtype),  # K read buf
                 pltpu.VMEM((max(bc, blocks), B, Ap), dtype),  # V read buf
                 pltpu.VMEM((3 * B, Ap), dtype),         # k write stage

@@ -8,25 +8,36 @@ standard XLA segment path, interpret mode on CPU.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from jukebox_tpu.models.transformer import Transformer
 
 
-def _setup():
+def _setup(quantize=False):
     S, n_ctx, blocks, depth, B = 64, 16, 4, 6, 2
     tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=1, n_depth=depth,
                      attn_order=2, blocks=blocks, m_attn=0.25, m_mlp=1.0,
                      mask=True)
     params = tr.init(jax.random.key(0))
     dec = tr.prepare_decode_params(params)
-    packed = tr.pack_stack_segments(dec)
+    if quantize:
+        # reference: the XLA weight-only-int8 segment path
+        from jukebox_tpu.ops.core import quantize_dense_tree
+        dec = jax.tree_util.tree_map(np.asarray, dec)
+        dec = quantize_dense_tree(dec)
+        dec = jax.tree_util.tree_map(jnp.asarray, dec)
+        packed = tr.pack_stack_segments(tr.prepare_decode_params(params),
+                                        quantize=True)
+    else:
+        packed = tr.pack_stack_segments(dec)
     assert tr.has_packed_segments(packed)
     assert not tr.has_packed_segments(dec)
     return tr, dec, packed, (S, n_ctx, blocks, B)
 
 
-def test_packed_prefill_matches_standard():
-    tr, dec, packed, (S, n_ctx, blocks, B) = _setup()
+@pytest.mark.parametrize("quantize", [False, True])
+def test_packed_prefill_matches_standard(quantize):
+    tr, dec, packed, (S, n_ctx, blocks, B) = _setup(quantize)
     rng = np.random.RandomState(0)
     x_chunk = jnp.asarray(0.5 * rng.randn(B, 8, S), jnp.bfloat16)  # 2 blocks
 
@@ -46,8 +57,9 @@ def test_packed_prefill_matches_standard():
         assert e < 0.02, e
 
 
-def test_packed_decode_after_conversion_matches_standard():
-    tr, dec, packed, (S, n_ctx, blocks, B) = _setup()
+@pytest.mark.parametrize("quantize", [False, True])
+def test_packed_decode_after_conversion_matches_standard(quantize):
+    tr, dec, packed, (S, n_ctx, blocks, B) = _setup(quantize)
     rng = np.random.RandomState(1)
     x_chunk = jnp.asarray(0.5 * rng.randn(B, 8, S), jnp.bfloat16)
 
