@@ -387,8 +387,20 @@ class Transformer:
     # slot-leading layout once per window at the prefill->decode boundary.
 
     def _stack_eligible(self, seg):
-        return (seg[0] == "scan" and tuple(seg[1]) == (1, 2, 3)
-                and self.n_head == 1 and self.blocks is not None)
+        if not (seg[0] == "scan" and sorted(seg[1]) == [1, 2, 3]
+                and self.blocks is not None):
+            return False
+        if self.n_head == 1:
+            return True
+        # multi-head needs lane-aligned head slices on TPU (the 1b top's
+        # hd=256 qualifies; 5b's hd=150 does not) and an unpadded A
+        A = int(self.m_attn * self.n_in)
+        if A % self.n_head:
+            return False
+        hd = A // self.n_head
+        if jax.devices()[0].platform != "tpu":
+            return True  # interpret mode has no tiling constraints
+        return hd % 128 == 0 and A % 128 == 0
 
     def pack_stack_segments(self, dec_params, np_=None, quantize=False):
         """Host-side: replace eligible scan segments' stacked trees with the
@@ -416,7 +428,8 @@ class Transformer:
         for seg, p_seg, c_seg in zip(self.decode_plan, dec_params, caches):
             if (isinstance(p_seg, dict) and "stack_packed" in p_seg
                     and not (isinstance(c_seg, tuple) and len(c_seg) == 6)):
-                out.append(pack_caches(c_seg, self.n_ctx // self.blocks))
+                out.append(pack_caches(c_seg, self.n_ctx // self.blocks,
+                                       pat=tuple(seg[1])))
             else:
                 out.append(c_seg)
         return out
@@ -560,6 +573,7 @@ class Transformer:
                         self.blocks, G, x.shape[0],
                         res_scale=cfg1.res_scale,
                         quantized=len(flat) == 3 * len(_pack_keys(True)),
+                        pat=tuple(seg[1]), n_head=self.n_head,
                         interpret=jax.devices()[0].platform == "cpu")
                     x, nc = mk(flat, c_seg, x, args[0])
                 else:

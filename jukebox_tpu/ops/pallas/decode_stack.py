@@ -171,10 +171,10 @@ def _flatten_packed(packed):
 # Cache layout conversion (standard [G, B, slots, A] <-> kernel layout)
 # ---------------------------------------------------------------------------
 
-def pack_caches(c_seg, bc, lane=128, xp=jnp):
+def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp):
     """Standard group-stacked caches (tuple of 3 {"k","v"} trees from
-    init_cache_from_segments) -> kernel slot-leading lane-padded tuple
-    (k1, v1, k2, v2, k3, v3)."""
+    init_cache_from_segments, in pattern-position order) -> kernel
+    slot-leading lane-padded 6-tuple (k_pat0, v_pat0, k_pat1, ...)."""
     A = c_seg[0]["k"].shape[-1]
     Ap = _round_up(A, lane)
 
@@ -187,31 +187,37 @@ def pack_caches(c_seg, bc, lane=128, xp=jnp):
         return np.concatenate(
             [x, np.zeros(x.shape[:-1] + (Ap - A,), x.dtype)], axis=-1)
 
-    k1 = padA(xp.transpose(c_seg[0]["k"], (0, 2, 1, 3)))   # [G,bc,B,Ap]
-    v1 = padA(xp.transpose(c_seg[0]["v"], (0, 2, 1, 3)))
-    k2 = padA(xp.transpose(c_seg[1]["k"], (0, 2, 3, 1, 4)))  # [G,bc,bl,B,Ap]
-    v2 = padA(xp.transpose(c_seg[1]["v"], (0, 2, 3, 1, 4)))
-    k3 = padA(xp.transpose(c_seg[2]["k"], (0, 2, 1, 3)))    # [G,2bc,B,Ap]
-    v3 = padA(xp.transpose(c_seg[2]["v"], (0, 2, 1, 3)))
-    k3 = k3.reshape(k3.shape[0], 2, bc, *k3.shape[2:])      # [G,2,bc,B,Ap]
-    v3 = v3.reshape(v3.shape[0], 2, bc, *v3.shape[2:])
-    return k1, v1, k2, v2, k3, v3
+    out = []
+    for j, f in enumerate(pat):
+        for key in ("k", "v"):
+            c = c_seg[j][key]
+            if f == 2:           # [G,B,bc,bl,A] -> [G,bc,bl,B,Ap]
+                c = padA(xp.transpose(c, (0, 2, 3, 1, 4)))
+            else:                # [G,B,slots,A] -> [G,slots,B,Ap]
+                c = padA(xp.transpose(c, (0, 2, 1, 3)))
+                if f == 3:       # [G,2bc,B,Ap] -> [G,2,bc,B,Ap]
+                    c = c.reshape(c.shape[0], 2, bc, *c.shape[2:])
+            out.append(c)
+    return tuple(out)
 
 
-def init_kernel_caches(G, bc, blocks, B, A, lane=128, dtype=jnp.bfloat16):
+def init_kernel_caches(G, bc, blocks, B, A, pat=(1, 2, 3), lane=128,
+                       dtype=jnp.bfloat16):
     """Fresh zero caches directly in the kernel's slot-leading layout
     (equivalent to pack_caches(init_cache_from_segments(...)) without
     materializing the standard layout)."""
     Ap = _round_up(A, lane)
     z = lambda *s: jnp.zeros(s, dtype)
-    return (z(G, bc, B, Ap), z(G, bc, B, Ap),
-            z(G, bc, blocks, B, Ap), z(G, bc, blocks, B, Ap),
-            z(G, 2, bc, B, Ap), z(G, 2, bc, B, Ap))
+    shapes = {1: (G, bc, B, Ap), 2: (G, bc, blocks, B, Ap),
+              3: (G, 2, bc, B, Ap)}
+    out = []
+    for f in pat:
+        out += [z(*shapes[f]), z(*shapes[f])]
+    return tuple(out)
 
 
-def unpack_caches(c6, A):
+def unpack_caches(c6, A, pat=(1, 2, 3)):
     """Kernel layout -> standard tuple of 3 {"k","v"} trees."""
-    k1, v1, k2, v2, k3, v3 = c6
 
     def t1(x):  # [G,bc,B,Ap] -> [G,B,bc,A]
         return jnp.transpose(x[..., :A], (0, 2, 1, 3))
@@ -224,9 +230,9 @@ def unpack_caches(c6, A):
         return jnp.transpose(x[..., :A].reshape(g, two * bc_, b, A),
                              (0, 2, 1, 3))
 
-    return ({"k": t1(k1), "v": t1(v1)},
-            {"k": t2(k2), "v": t2(v2)},
-            {"k": t3(k3), "v": t3(v3)})
+    conv = {1: t1, 2: t2, 3: t3}
+    return tuple({"k": conv[f](c6[2 * j]), "v": conv[f](c6[2 * j + 1])}
+                 for j, f in enumerate(pat))
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +244,7 @@ def _quick_gelu(x):
 
 
 def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
-            quantized, t_ref, *refs):
+            quantized, pat, H, t_ref, *refs):
     """refs: 3×12 (or 3×16 with int8 scales) packed param refs (weights ANY,
     biases/LN/scales VMEM), 6 cache refs (ANY), x_in; outputs x_out + 6
     aliased cache outs; scratch: canvas, kbuf, vbuf, kstage, vstage, wsem,
@@ -264,8 +270,10 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
     b_col = t // bc         # func-2 block row
     ring_w = (t // bc) % 2  # func-3 write ring
     ring_r = ((t // bc) - 1) % 2
-    scale = float(A) ** -0.25
+    hd = A // H
+    scale = float(hd) ** -0.25
 
+    cache_in = {0: (k1, v1), 1: (k2, v2), 2: (k3, v3)}
     cache_w = {0: (k1o, v1o), 1: (k2o, v2o), 2: (k3o, v3o)}
     tot_pg = pieces_per_layer * 3
 
@@ -330,20 +338,23 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
         piece_dma(nj, nl, 0, c % N_SLOTS).start()
 
     # -- cache read DMAs (slot-leading layouts; dynamic index on leading
-    #    dims only) ----------------------------------------------------------
+    #    dims only). The cache pair at position j has the layout of func
+    #    pat[j] (patterns may be rotations like (2,3,1)). -------------------
     def cache_read(j, g):
-        if j == 0:
-            kd = pltpu.make_async_copy(k1.at[g], kbuf.at[:bc], crsem.at[0])
-            vd = pltpu.make_async_copy(v1.at[g], vbuf.at[:bc], crsem.at[1])
-        elif j == 1:
-            kd = pltpu.make_async_copy(k2.at[g, s_row], kbuf.at[:blocks],
+        f = pat[j]
+        ki, vi = cache_in[j]
+        if f == 1:
+            kd = pltpu.make_async_copy(ki.at[g], kbuf.at[:bc], crsem.at[0])
+            vd = pltpu.make_async_copy(vi.at[g], vbuf.at[:bc], crsem.at[1])
+        elif f == 2:
+            kd = pltpu.make_async_copy(ki.at[g, s_row], kbuf.at[:blocks],
                                        crsem.at[0])
-            vd = pltpu.make_async_copy(v2.at[g, s_row], vbuf.at[:blocks],
+            vd = pltpu.make_async_copy(vi.at[g, s_row], vbuf.at[:blocks],
                                        crsem.at[1])
         else:
-            kd = pltpu.make_async_copy(k3.at[g, ring_r], kbuf.at[:bc],
+            kd = pltpu.make_async_copy(ki.at[g, ring_r], kbuf.at[:bc],
                                        crsem.at[0])
-            vd = pltpu.make_async_copy(v3.at[g, ring_r], vbuf.at[:bc],
+            vd = pltpu.make_async_copy(vi.at[g, ring_r], vbuf.at[:bc],
                                        crsem.at[1])
         return kd, vd
 
@@ -353,10 +364,11 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
 
         for j in range(3):
             p = params[j]
+            f = pat[j]
             # previous group's write-back of this layer's stage buffers
             @pl.when(g > 0)
-            def _(j=j):
-                _wb_dma(j, cache_w, kstage, vstage, wbsem, bc,
+            def _(j=j, f=f):
+                _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
                         s_row, b_col, ring_w, jnp.maximum(g - 1, 0),
                         B).wait_all()
 
@@ -383,15 +395,15 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
 
             kbf = k.astype(x.dtype)
             vbf = v.astype(x.dtype)
-            if j == 0:
+            if f == 1:
                 L, lim, ins = bc, s_row, s_row
-            elif j == 1:
+            elif f == 2:
                 L, lim, ins = blocks, b_col, b_col
             else:
                 L, lim, ins = bc, None, None           # reads the PREV ring
             kstage[j * B:(j + 1) * B, :] = kbf
             vstage[j * B:(j + 1) * B, :] = vbf
-            _wb_dma(j, cache_w, kstage, vstage, wbsem, bc,
+            _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
                     s_row, b_col, ring_w, g, B).start_all()
 
             kd.wait()
@@ -404,33 +416,44 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
             # score matrix, and its value contribution is added as
             # w_ins * v_new after zeroing the stale slot's weight — O(B·L)
             # and O(B·Ap) fixups instead of O(L·B·Ap) merge passes.
+            # Heads run as a static loop over lane-aligned hd slices.
             kr = kbuf[:L].astype(jnp.float32) * scale
             vr = vbuf[:L].astype(jnp.float32)
             qs = q * scale
-            qb = lax.broadcast_in_dim(qs, (L, B, Ap), (1, 2))
-            # [B, L] orientation: lane-axis softmax is the only formulation
-            # Mosaic compiles after a lane reduction (sublane-axis keepdims
-            # hits a replicated-layout relayout bug)
-            st = jnp.sum(qb * kr, axis=-1).T           # [B, L]
             cols = lax.broadcasted_iota(jnp.int32, (B, L), 1)
-            if ins is not None:
-                sc_new = jnp.sum(qs * kbf.astype(jnp.float32) * scale,
-                                 axis=-1, keepdims=True)       # [B, 1]
-                st = jnp.where(cols == ins, sc_new, st)
-            if lim is not None:
-                st = jnp.where(cols <= lim, st, NEG)
-            smax = jnp.max(st, axis=-1, keepdims=True)
-            sexp = jnp.exp(st - smax)
-            w_bl = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
-            if ins is not None:
-                w_ins = jnp.sum(jnp.where(cols == ins, w_bl, 0.0),
-                                axis=-1, keepdims=True)        # [B, 1]
-                w_bl = jnp.where(cols == ins, 0.0, w_bl)
-            w_att = w_bl.T                             # [L, B]
-            sb = lax.broadcast_in_dim(w_att, (L, B, Ap), (0, 1))
-            o = jnp.sum(sb * vr, axis=0)               # [B, Ap]
-            if ins is not None:
-                o = o + w_ins * vbf.astype(jnp.float32)
+            o_heads = []
+            for h in range(H):
+                hs = slice(h * hd, (h + 1) * hd)
+                qh = qs[:, hs]
+                qb = lax.broadcast_in_dim(qh, (L, B, hd), (1, 2))
+                # [B, L] orientation: lane-axis softmax is the only
+                # formulation Mosaic compiles after a lane reduction
+                # (sublane-axis keepdims hits a relayout bug)
+                st = jnp.sum(qb * kr[..., hs], axis=-1).T      # [B, L]
+                if ins is not None:
+                    sc_new = jnp.sum(
+                        qh * kbf[:, hs].astype(jnp.float32) * scale,
+                        axis=-1, keepdims=True)                # [B, 1]
+                    st = jnp.where(cols == ins, sc_new, st)
+                if lim is not None:
+                    st = jnp.where(cols <= lim, st, NEG)
+                smax = jnp.max(st, axis=-1, keepdims=True)
+                sexp = jnp.exp(st - smax)
+                w_bl = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
+                if ins is not None:
+                    w_ins = jnp.sum(jnp.where(cols == ins, w_bl, 0.0),
+                                    axis=-1, keepdims=True)    # [B, 1]
+                    w_bl = jnp.where(cols == ins, 0.0, w_bl)
+                w_att = w_bl.T                                 # [L, B]
+                sb = lax.broadcast_in_dim(w_att, (L, B, hd), (0, 1))
+                o_h = jnp.sum(sb * vr[..., hs], axis=0)        # [B, hd]
+                if ins is not None:
+                    o_h = o_h + w_ins * vbf[:, hs].astype(jnp.float32)
+                o_heads.append(o_h)
+            o = o_heads[0] if H == 1 else jnp.concatenate(o_heads, axis=-1)
+            if Ap != A:
+                o = jnp.concatenate(
+                    [o, jnp.zeros((B, Ap - A), o.dtype)], axis=-1)
             o = o.astype(x.dtype).astype(jnp.float32)
 
             # ---- proj pieces -------------------------------------------------
@@ -485,7 +508,7 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
 
     # epilogue: final group's write-backs
     for j in range(3):
-        _wb_dma(j, cache_w, kstage, vstage, wbsem, bc,
+        _wb_dma(j, pat[j], cache_w, kstage, vstage, wbsem, bc,
                 s_row, b_col, ring_w, G - 1, B).wait_all()
 
 
@@ -506,12 +529,12 @@ class _WbPair:
         self.vd.wait()
 
 
-def _wb_dma(j, cache_w, kstage, vstage, wbsem, bc,
+def _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
             s_row, b_col, ring_w, g, B):
     ko, vo = cache_w[j]
-    if j == 0:
+    if f == 1:
         kdst, vdst = ko.at[g, s_row], vo.at[g, s_row]
-    elif j == 1:
+    elif f == 2:
         kdst, vdst = ko.at[g, s_row, b_col], vo.at[g, s_row, b_col]
     else:
         kdst, vdst = ko.at[g, ring_w, s_row], vo.at[g, ring_w, s_row]
@@ -529,19 +552,26 @@ def _wb_dma(j, cache_w, kstage, vstage, wbsem, bc,
 @functools.lru_cache(maxsize=None)
 def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                        lane=128, n_slots=4, dtype=jnp.bfloat16,
-                       quantized=False, interpret=False):
+                       quantized=False, pat=(1, 2, 3), n_head=1,
+                       interpret=False):
     """Returns fn(flat_packed, caches6, x, t) -> (x_new, caches6).
 
     flat_packed: list from _flatten_packed(pack_decode_params(p_seg, lane)).
-    caches6: kernel-layout caches from pack_caches(..., lane). x: [B, 1, S]
-    activation (cast to bf16). t: int32 scalar token position.
+    caches6: kernel-layout caches from pack_caches(..., pat, lane).
+    x: [B, 1, S] activation (cast to bf16). t: int32 scalar token position.
+    pat: the segment's attn_func pattern (any ordering of {1, 2, 3}).
+    n_head > 1 requires A % n_head == 0 (and lane-aligned head_dim to
+    compile for TPU — the 1b top's hd=256 qualifies).
     """
+    assert sorted(pat) == [1, 2, 3], pat
+    assert A % n_head == 0
     Ap = _round_up(A, lane)
     PW = _piece_width(S, lane)
     Smax = max(S, Sm, Ap)
 
     kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, bc, blocks, G, B,
-                               res_scale, n_slots, quantized)
+                               res_scale, n_slots, quantized, tuple(pat),
+                               n_head)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pltpu.ANY)

@@ -13,11 +13,20 @@ import pytest
 from jukebox_tpu.models.transformer import Transformer
 
 
-def _setup(quantize=False):
-    S, n_ctx, blocks, depth, B = 64, 16, 4, 6, 2
-    tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=1, n_depth=depth,
-                     attn_order=2, blocks=blocks, m_attn=0.25, m_mlp=1.0,
-                     mask=True)
+def _setup(quantize=False, order=2):
+    if order == 12:
+        # depth 22 yields flat f7 at 15, a rotated (2,3,1) scan at 16..21,
+        # plus the plain (1,2,3) scans — exercises rotations, heads=2 and
+        # the mixed megakernel/XLA decode (f7 flat stays on the XLA path)
+        S, n_ctx, blocks, depth, B = 64, 32, 4, 22, 2
+        tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=2, n_depth=depth,
+                         attn_order=12, blocks=blocks, m_attn=0.25,
+                         m_mlp=1.0, mask=True, prime_len=8)
+    else:
+        S, n_ctx, blocks, depth, B = 64, 16, 4, 6, 2
+        tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=1, n_depth=depth,
+                         attn_order=2, blocks=blocks, m_attn=0.25, m_mlp=1.0,
+                         mask=True)
     params = tr.init(jax.random.key(0))
     dec = tr.prepare_decode_params(params)
     if quantize:
@@ -57,17 +66,19 @@ def test_packed_prefill_matches_standard(quantize):
         assert e < 0.02, e
 
 
-@pytest.mark.parametrize("quantize", [False, True])
-def test_packed_decode_after_conversion_matches_standard(quantize):
-    tr, dec, packed, (S, n_ctx, blocks, B) = _setup(quantize)
+@pytest.mark.parametrize("quantize,order",
+                         [(False, 2), (True, 2), (False, 12)])
+def test_packed_decode_after_conversion_matches_standard(quantize, order):
+    tr, dec, packed, (S, n_ctx, blocks, B) = _setup(quantize, order)
     rng = np.random.RandomState(1)
     x_chunk = jnp.asarray(0.5 * rng.randn(B, 8, S), jnp.bfloat16)
 
+    nb = 8 // (n_ctx // blocks)
     c_std = tr.init_cache_from_segments(dec, B, jnp.bfloat16)
     c_pkd = tr.init_cache_from_segments(packed, B, jnp.bfloat16)
-    _, c_std = tr.prefill_chunk(dec, c_std, x_chunk, jnp.int32(0), 2,
+    _, c_std = tr.prefill_chunk(dec, c_std, x_chunk, jnp.int32(0), nb,
                                 fp16=True)
-    _, c_pkd = tr.prefill_chunk(packed, c_pkd, x_chunk, jnp.int32(0), 2,
+    _, c_pkd = tr.prefill_chunk(packed, c_pkd, x_chunk, jnp.int32(0), nb,
                                 fp16=True)
     # prefill -> decode boundary: convert to the kernel cache layout
     c_pkd = tr.pack_segment_caches(packed, c_pkd)
