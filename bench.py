@@ -24,11 +24,16 @@ to stderr and bench_details.json.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Env knobs: BENCH_N_SAMPLES (default 16, the reference's own 1b max batch —
-fits one v5e since the in-place grouped cache decode), BENCH_MODEL (default
-1b_lyrics), BENCH_BUDGET_S (default 1500), BENCH_PHASES (csv subset of
+kept for apples-to-apples comparability), BENCH_MODEL (default 1b_lyrics),
+BENCH_BUDGET_S (default 1500), BENCH_PHASES (csv subset of
 top,up_anc,up_primed), BENCH_INT8=1 for weight-only int8 decode staging,
 BENCH_BS_TOP/BENCH_BS_UP batch overrides, BENCH_ALLOW_CPU=1 to run on host
 CPU.
+
+Serving mode: the v5e fits decode batches the V100 never could —
+`BENCH_INT8=1 BENCH_N_SAMPLES=32 BENCH_BS_UP=32` measures the upsamplers
+at bs=32 (the extrapolation accounts for the top running as two
+microbatches of 16). See PERF.md for recorded numbers.
 """
 
 import json

@@ -31,8 +31,11 @@ accumulate fp32 and round to the activation dtype, attention uses the
 reference's fused q*s @ k*s scale (factored_attention.py:82-88) with
 softmax in fp32, quick_gelu MLP, residual x + a + m (res_scale folded in).
 
-Only heads == 1 is supported (all jukebox upsamplers; the 1b/5b top priors
-use other attn_orders and stay on the XLA path).
+Patterns may be any ordering of {1, 2, 3} (order-12 plans produce rotations
+like (2, 3, 1)); multi-head runs as a static loop over lane-aligned
+head_dim slices (the 1b top's hd=256 qualifies; the 5b top's hd=150 stays
+on the XLA path). The f7/f0 special layers of orders 10-12 are applied flat
+by the XLA path between the kernel's scan segments.
 """
 
 import functools
