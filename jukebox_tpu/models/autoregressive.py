@@ -292,12 +292,19 @@ class ConditionalAutoregressive2D:
         primed_sample and prefill)."""
         N, P = x_prime.shape
         x_cond_full = x_cond.shape[1] > 1
-        emb_in = jnp.take(params["x_emb"]["weight"], x_prime[:, :-1], axis=0)
-        emb_in = jnp.concatenate([self._start_emb(params, y_cond, N), emb_in],
-                                 axis=1)
+        # build the prefill activations directly in the transformer's compute
+        # dtype: the fp32 [N, P, width] h_in transient is ~0.8 GB at
+        # bs=24/1b-upsampler scale and is what capped hop windows at bs=16
+        # (the decode loop already does these adds in bf16 via _emb_at)
+        dtype = jnp.bfloat16 if fp16 else jnp.float32
+        emb_in = jnp.take(params["x_emb"]["weight"], x_prime[:, :-1],
+                          axis=0).astype(dtype)
+        emb_in = jnp.concatenate(
+            [self._start_emb(params, y_cond, N).astype(dtype), emb_in], axis=1)
         conds = x_cond[:, :P] if x_cond_full else jnp.broadcast_to(
             x_cond, (N, P, self.width))
-        h_in = emb_in + params["pos_emb"]["pos_emb"][None, :P] + conds
+        h_in = (emb_in + params["pos_emb"]["pos_emb"][None, :P].astype(dtype)
+                + conds.astype(dtype))
 
         if self.blocks is not None:
             bc = self.block_ctx

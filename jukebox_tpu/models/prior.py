@@ -324,6 +324,15 @@ class SimplePrior:
                 encoder_kv = self.get_encoder_kv(params, prime, fp16=fp16)
             prefill_tokens = None if no_past_context else z
         prior = self.prior
+        if fp16:
+            # cast conditioning BEFORE the prefill: the decode loop reads
+            # x_cond every token and computes in bf16, and the fp32 resident
+            # copy (0.8-1.5 GiB at 1b serving batches) both doubles its HBM
+            # footprint and capped hop-window batch size
+            if x_cond is not None:
+                x_cond = x_cond.astype(jnp.bfloat16)
+            if encoder_kv is not None:
+                encoder_kv = encoder_kv.astype(jnp.bfloat16)
         caches = prior.init_decode_caches(params["prior"], n_samples,
                                           fp16=fp16, encoder_kv=encoder_kv,
                                           dec_params=dec_params)
@@ -335,20 +344,12 @@ class SimplePrior:
                 fp16=fp16, chunk_size=chunk_size, dec_params=dec_params)
         else:
             x_tok = jnp.zeros((n_samples, 1), jnp.int32)
-        if fp16:
-            # the decode loop reads x_cond every token and computes in bf16;
-            # keeping the resident copy fp32 doubles both its HBM footprint
-            # (0.8 GiB at 1b/bs=16) and the per-token conditioning stream
-            if x_cond is not None:
-                x_cond = x_cond.astype(jnp.bfloat16)
-            if encoder_kv is not None:
-                encoder_kv = encoder_kv.astype(jnp.bfloat16)
-            if (dec_params is not None
-                    and prior.transformer.has_packed_segments(dec_params)):
-                # prefill -> decode boundary: convert packed segments' caches
-                # to the megakernel's slot-leading layout (once per window)
-                caches = prior.transformer.pack_segment_caches(dec_params,
-                                                               caches)
+        if (fp16 and dec_params is not None
+                and prior.transformer.has_packed_segments(dec_params)):
+            # prefill -> decode boundary: convert packed segments' caches
+            # to the megakernel's slot-leading layout (once per window)
+            caches = prior.transformer.pack_segment_caches(dec_params,
+                                                           caches)
         return caches, x_tok, x_cond, y_cond, encoder_kv
 
     def sample_prefix_len(self, z=None):
