@@ -64,13 +64,14 @@ def main():
     z = prior.sample(n_samples=bs, z=None, z_conds=None, y=y,
                      rng=jax.random.key(0), fp16=True, temp=0.99,
                      chunk_size=16, sample_tokens=n_tok, segment_tokens=256)
-    z = jax.block_until_ready(z)
+    # copy tokens to host: async readiness cannot fake the timing
+    print("first tokens:", np.asarray(z)[0, :4], flush=True)
     t_first = time.time() - t0
     t0 = time.time()
-    z = jax.block_until_ready(
-        prior.sample(n_samples=bs, z=None, z_conds=None, y=y,
+    z = prior.sample(n_samples=bs, z=None, z_conds=None, y=y,
                      rng=jax.random.key(1), fp16=True, temp=0.99,
-                     chunk_size=16, sample_tokens=n_tok, segment_tokens=256))
+                     chunk_size=16, sample_tokens=n_tok, segment_tokens=256)
+    print("exec tokens:", np.asarray(z)[0, :4], flush=True)
     t_exec = time.time() - t0
     rate = n_tok * bs / t_exec
     out = dict(model="5b_lyrics", params_b=round(n / 1e9, 2), bs=bs,
