@@ -233,11 +233,16 @@ def main():
             except Exception as e:  # noqa: BLE001
                 # The axon worker frees a previous client's HBM asynchronously;
                 # a bench started back-to-back with another chip job can hit a
-                # transient RESOURCE_EXHAUSTED. One settled retry.
+                # transient RESOURCE_EXHAUSTED. One settled retry — a
+                # string-match heuristic (the axon transport surfaces XLA
+                # status codes as plain RuntimeError text, so there is no
+                # typed exception to catch); a genuinely persistent OOM costs
+                # one extra 30 s sleep + phase run before surfacing.
                 if "RESOURCE_EXHAUSTED" not in str(e) or remaining() < 120:
                     raise
                 log(f"phase {name}: transient RESOURCE_EXHAUSTED, "
-                    f"retrying once after 30s")
+                    f"retrying once after 30s (one-shot heuristic; a real "
+                    f"OOM will re-raise from the retry)")
                 import gc
                 gc.collect()
                 time.sleep(30)

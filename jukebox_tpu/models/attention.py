@@ -120,7 +120,17 @@ def dense_attn(q, k, v, n_head, mask=None, record=False, dropout_rng=None,
     w = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, precision=_PRECISION,
                    preferred_element_type=jnp.float32)
     if mask is not None:
-        w = w * mask + NEG * (1 - mask)
+        if isinstance(mask, str):
+            # "causal": lazy iota comparison fused into the select — no
+            # materialised [Lq, Lkv] constant (a trace-time tril at the 1b
+            # 8448 ctx would be ~285 MB of fp32 rebuilt every forward)
+            assert mask == "causal"
+            lq, lk = w.shape[-2], w.shape[-1]
+            row = lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+            col = lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+            w = jnp.where(row >= col, w, NEG)
+        else:
+            w = w * mask + NEG * (1 - mask)
     w = jax.nn.softmax(w, axis=-1)
     rec = w if record else None
     from jukebox_tpu.ops.core import dropout
@@ -216,20 +226,21 @@ class FactoredAttention:
         if f == 0:
             # bf16 only: measured 2.1x faster than XLA dense on-chip at 1b
             # shapes; for fp32 XLA dense is faster AND keeps HIGHEST-precision
-            # matmul semantics (PALLAS_CHIP.json)
+            # matmul semantics (PALLAS_CHIP.json). attn_dropout runs inside
+            # the kernel (recomputed mask), so dropout-training configs keep
+            # the O(L) memory path too
             if (self.mask and not record and L >= _FLASH_MIN_CTX
-                    and q.dtype == jnp.bfloat16 and use_flash_attn()
-                    and (dropout_rng is None or self.attn_dropout == 0.0)):
+                    and q.dtype == jnp.bfloat16 and use_flash_attn()):
                 from jukebox_tpu.ops.pallas.flash_attention import \
                     flash_dense_attn
-                return flash_dense_attn(q, k, v, self.n_head), None
-            if self.mask:
-                # in-graph beyond 2048^2: a large trace-time mask constant
-                # bloats the HLO (and exceeds remote-compile size limits)
-                mask = (_causal_mask(L, L, 0) if L <= 2048
-                        else jnp.tril(jnp.ones((L, L), jnp.float32)))
-            else:
-                mask = None
+                rate = self.attn_dropout if dropout_rng is not None else 0.0
+                seed = (jax.random.randint(dropout_rng, (), 0, 2**31 - 1,
+                                           dtype=jnp.int32)
+                        if rate > 0.0 else None)
+                return flash_dense_attn(q, k, v, self.n_head,
+                                        dropout_rate=rate,
+                                        dropout_seed=seed), None
+            mask = "causal" if self.mask else None
             return dense_attn_(q, k, v, self.n_head, mask, record)
         if f == 1:
             bc = self.block_ctx
@@ -274,7 +285,7 @@ class FactoredAttention:
             return dense_attn_(q, k, v, self.n_head, None, record)
         if f == 7:
             pl_ = self._prime_len
-            mask = _causal_mask(q.shape[1], pl_, 0) if self.mask else None
+            mask = "causal" if self.mask else None  # tril over [Lq, prime]
             return dense_attn_(q, k[:, :pl_], v[:, :pl_], self.n_head, mask, record)
         raise NotImplementedError(f"attn_func {f}")
 

@@ -390,6 +390,18 @@ class Transformer:
         if not (seg[0] == "scan" and sorted(seg[1]) == [1, 2, 3]
                 and self.blocks is not None):
             return False
+        if self.afn != "quick_gelu":
+            return False  # the megakernel hardcodes quick_gelu
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if on_tpu:
+            # widths with no lane-aligned piece divisor (or whose MLP width
+            # the piece doesn't divide) would fail at Mosaic compile rather
+            # than fall back — probe them here
+            from jukebox_tpu.ops.pallas.decode_stack import _piece_width
+            S, Sm = self.n_in, int(self.m_mlp * self.n_in)
+            pw = _piece_width(S, 128)
+            if pw % 128 or Sm % pw:
+                return False
         if self.n_head == 1:
             return True
         # multi-head needs lane-aligned head slices on TPU (the 1b top's
@@ -398,7 +410,7 @@ class Transformer:
         if A % self.n_head:
             return False
         hd = A // self.n_head
-        if jax.devices()[0].platform != "tpu":
+        if not on_tpu:
             return True  # interpret mode has no tiling constraints
         return hd % 128 == 0 and A % 128 == 0
 

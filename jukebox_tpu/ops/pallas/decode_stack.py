@@ -125,10 +125,10 @@ def pack_decode_params(p_seg, lane=128, np_=np, quantize=False):
 
         bf16 = jnp.bfloat16
         d = dict(
-            w_qkv=wq3.astype(bf16),
-            w_proj=cols(wp_pad, PW).astype(bf16),   # [G, S//PW, Ap, PW]
-            w_m1=cols(w1, PW).astype(bf16),         # [G, Sm//PW, S, PW]
-            w_m2=cols(w2, PW).astype(bf16),         # [G, S//PW, Sm, PW]
+            w_qkv=wq3,                              # [G, 3, S, Ap] fp32
+            w_proj=cols(wp_pad, PW),                # [G, S//PW, Ap, PW]
+            w_m1=cols(w1, PW),                      # [G, Sm//PW, S, PW]
+            w_m2=cols(w2, PW),                      # [G, S//PW, Sm, PW]
             # biases in the activation dtype (the XLA dense path casts b to
             # x.dtype too); LN params stay fp32 like ops.core.layer_norm
             b_qkv=bq3.astype(bf16),
@@ -140,17 +140,21 @@ def pack_decode_params(p_seg, lane=128, np_=np, quantize=False):
             ln1_g=np_.asarray(p["ln_1"]["g"], np_.float32),
             ln1_b=np_.asarray(p["ln_1"]["b"], np_.float32),
         )
-        if quantize:
-            # weight-only int8, per-out-column absmax scales over the input
-            # axis (exactly ops.core.quantize_dense); halves the per-token
-            # HBM weight stream. The matmul dequantises AFTER accumulation
-            # (scales per out column factor out of the contraction).
-            for key in ("w_qkv", "w_proj", "w_m1", "w_m2"):
+        for key in ("w_qkv", "w_proj", "w_m1", "w_m2"):
+            if quantize:
+                # weight-only int8, per-out-column absmax scales over the
+                # input axis, computed from the fp32 source (bit-identical to
+                # ops.core.quantize_dense — no intermediate bf16 rounding);
+                # halves the per-token HBM weight stream. The matmul
+                # dequantises AFTER accumulation (scales per out column
+                # factor out of the contraction).
                 w = np_.asarray(d[key], np_.float32)
                 s = np_.max(np_.abs(w), axis=-2, keepdims=True) / 127.0
                 s = np_.maximum(s, 1e-12)
                 d[key] = np_.clip(np_.round(w / s), -127, 127).astype(np_.int8)
                 d["s" + key[1:]] = s[..., 0, :].astype(np_.float32)
+            else:
+                d[key] = d[key].astype(bf16)
         packed.append(d)
     return packed
 

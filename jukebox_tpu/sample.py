@@ -228,8 +228,12 @@ def save_samples(model, device, hps, sample_hps):
         chunk_size, max_batch_size = hps.get("chunk_size", 256), \
             hps.get("max_batch_size", 16)
     else:
+        # 5b: bs=4 needs int8 weight staging to fit a 16 GB chip; without it
+        # match the reference's V100 default of 3 (sample.py:237)
+        import os as _os
+        int8_staging = _os.environ.get("JUKEBOX_INT8_DECODE", "") not in ("", "0")
         chunk_size, max_batch_size = hps.get("chunk_size", 128), \
-            hps.get("max_batch_size", 4)
+            hps.get("max_batch_size", 4 if int8_staging else 3)
     sampling_kwargs = [
         dict(temp=0.99, fp16=True, chunk_size=lower_level_chunk_size,
              max_batch_size=lower_level_max_batch_size),

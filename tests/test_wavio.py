@@ -98,3 +98,87 @@ def test_ffmpeg_cli_fallback(tmp_path, monkeypatch):
     assert got_sr == sr and x.shape == (2, 256)
     np.testing.assert_allclose(x, sig.T[:, :256], atol=1e-7)
     assert abs(get_duration_sec(str(fake_mp3)) - 1.0) < 1e-6
+
+
+# --- fuzz: corrupt/truncated bytes through the native loader -----------------
+
+def test_fuzz_corrupt_wav_bytes(tmp_path, wav_file):
+    """Malformed wav files must fail cleanly (probe -> None or a bounded
+    zero-filled read), never crash the C loader or poison load_audio."""
+    path, _ = wav_file
+    with open(path, "rb") as f:
+        good = f.read()
+    cases = {
+        "empty": b"",
+        "header_only_10b": good[:10],
+        "riff_no_chunks": good[:12],
+        "bad_magic": b"XXXX" + good[4:],
+        "bad_wave_tag": good[:8] + b"NOPE" + good[12:],
+        "fmt_truncated": good[:30],
+        "data_truncated": good[: len(good) // 3],
+        "garbage": bytes(range(256)) * 64,
+        "huge_declared_size": good[:40] + b"\xff\xff\xff\x7f" + good[44:64],
+    }
+    for name, blob in cases.items():
+        p = str(tmp_path / f"{name}.wav")
+        with open(p, "wb") as f:
+            f.write(blob)
+        info = wavio.probe(p)  # must not crash
+        w = wavio.read_window(p, 0, 64)  # must not crash either
+        if w is not None:
+            assert w.shape[1] == 64 and np.isfinite(w).all(), name
+        if info is not None:
+            # header parsed (e.g. only the data bytes are truncated): the
+            # full loader path must still produce a finite, full-size window
+            x, sr = load_audio(p, sr=info["sample_rate"], offset=0,
+                               duration=128)
+            assert x.shape == (2, 128) and np.isfinite(x).all(), name
+
+
+def test_fuzz_data_truncated_zero_fills(tmp_path, wav_file):
+    """A file whose data chunk is cut short (disk-full copy) reads the real
+    frames and zero-fills the missing tail instead of failing."""
+    path, sig = wav_file
+    with open(path, "rb") as f:
+        good = f.read()
+    cut = str(tmp_path / "cut.wav")
+    keep_frames = 1000
+    with open(cut, "wb") as f:
+        f.write(good[: 44 + keep_frames * 4])  # 2ch x int16
+    w = wavio.read_window(cut, 0, 2048)
+    if w is None:  # pure-python fallback handles it via wave module
+        pytest.skip("native loader unavailable")
+    assert w.shape == (2, 2048)
+    expect = np.round(sig.T[:, :keep_frames] * 32767) / 32768
+    np.testing.assert_allclose(w[:, :keep_frames], expect, atol=1e-4)
+    assert (w[:, keep_frames + 4:] == 0).all()
+
+
+# --- real compressed-audio decode (needs an ffmpeg binary) -------------------
+
+def _real_ffmpeg():
+    import shutil
+    return shutil.which("ffmpeg") is not None
+
+
+@pytest.mark.skipif(not _real_ffmpeg(), reason=(
+    "no ffmpeg binary in this zero-egress image; on a deployment with "
+    "ffmpeg this encodes an mp3 fixture and decodes it through "
+    "_load_ffmpeg_window (reference io.py:20-57 parity)"))
+def test_real_mp3_roundtrip(tmp_path, wav_file):
+    import subprocess
+
+    path, sig = wav_file
+    mp3 = str(tmp_path / "clip.mp3")
+    subprocess.run(["ffmpeg", "-v", "error", "-i", path, "-b:a", "192k", mp3],
+                   check=True)
+    x, sr = load_audio(mp3, sr=8000, offset=0, duration=4096)
+    assert sr == 8000 and x.shape == (2, 4096)
+    # lossy codec + encoder delay: align by cross-correlation, then demand
+    # high correlation with the source
+    ref = sig.T[0]
+    best = max(
+        (float(np.corrcoef(x[0, lag:lag + 2048], ref[:2048])[0, 1]), lag)
+        for lag in range(0, 1200, 8))
+    assert best[0] > 0.8, f"decoded audio uncorrelated with source: {best}"
+    assert abs(get_duration_sec(mp3) - 2.0) < 0.2
