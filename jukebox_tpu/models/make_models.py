@@ -20,9 +20,11 @@ import contextlib
 
 
 def _host_device():
-    """Context running eager ops on the host CPU backend when it exists."""
+    """Context running eager ops on the host CPU backend when it exists.
+    Must be a LOCAL device: in a multi-process world jax.devices("cpu")[0]
+    is process 0's device and is non-addressable elsewhere."""
     try:
-        return jax.default_device(jax.devices("cpu")[0])
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
     except RuntimeError:
         return contextlib.nullcontext()
 
