@@ -128,3 +128,114 @@ def test_flash_dense_attn_grads_match_dense():
     for r, p, name in zip(ref, pal, "qkv"):
         np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=2e-4,
                                    err_msg=f"d{name}")
+
+
+# --- flash attention with in-kernel dropout ----------------------------------
+
+def _np_keep_mask(seed, bh, Lq, Lk, rate):
+    """Host mirror of flash_attention._keep_mask (murmur3 finalizer over
+    global positions); proves the kernel's recomputed mask is the advertised
+    deterministic function of (seed, head, positions)."""
+    with np.errstate(over="ignore"):
+        q_pos = np.arange(Lq, dtype=np.uint32)[:, None] * np.uint32(0x9E3779B1)
+        kv_pos = np.arange(Lk, dtype=np.uint32)[None, :] * np.uint32(0x85EBCA77)
+        s = np.uint32(seed) + np.uint32(bh) * np.uint32(0xC2B2AE3D)
+        h = q_pos ^ kv_pos ^ s
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    thresh = np.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return h >= thresh
+
+
+def _masked_dense_ref(q, k, v, keep, H, rate):
+    """dense_attn + the reference's post-softmax dropout with an explicit
+    keep mask (factored_attention.py:106 semantics)."""
+    B, L, S = q.shape
+    hd = S // H
+    qh = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3).astype(jnp.float32)
+    kh = k.reshape(B, L, H, hd).transpose(0, 2, 1, 3).astype(jnp.float32)
+    vh = v.reshape(B, L, H, hd).transpose(0, 2, 1, 3).astype(jnp.float32)
+    w = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(hd)
+    tril = np.tril(np.ones((L, L), bool))
+    w = jnp.where(tril, w, -1e9)
+    w = jax.nn.softmax(w, axis=-1)
+    w = jnp.where(keep, w / (1.0 - rate), 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+    return out.transpose(0, 2, 1, 3).reshape(B, L, S).astype(q.dtype)
+
+
+def _dropout_case(B=1, L=256, S=128, H=2, rate=0.25, seed=1234):
+    rs = np.random.RandomState(7)
+    q = jnp.asarray(rs.randn(B, L, S), jnp.float32)
+    k = jnp.asarray(rs.randn(B, L, S), jnp.float32)
+    v = jnp.asarray(rs.randn(B, L, S), jnp.float32)
+    keep = np.stack([np.stack([_np_keep_mask(seed, b * H + h, L, L, rate)
+                               for h in range(H)]) for b in range(B)])
+    return q, k, v, keep, seed
+
+
+def test_flash_dropout_forward_matches_masked_dense():
+    from jukebox_tpu.ops.pallas.flash_attention import flash_dense_attn
+    H, rate = 2, 0.25
+    q, k, v, keep, seed = _dropout_case(H=H, rate=rate)
+    ref = _masked_dense_ref(q, k, v, keep, H, rate)
+    out = flash_dense_attn(q, k, v, H, bq=128, bk=128, interpret=True,
+                           dropout_rate=rate, dropout_seed=seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+    # the mask actually drops something
+    keep_frac = keep[..., np.tril_indices(256)[0], np.tril_indices(256)[1]].mean()
+    assert 0.70 < keep_frac < 0.80  # ~= 1 - rate
+
+
+def test_flash_dropout_grads_match_masked_dense():
+    from jukebox_tpu.ops.pallas.flash_attention import flash_dense_attn
+    H, rate = 2, 0.25
+    q, k, v, keep, seed = _dropout_case(H=H, rate=rate)
+
+    def ref_loss(q, k, v):
+        return jnp.sum(jnp.sin(_masked_dense_ref(q, k, v, keep, H, rate)))
+
+    def pal_loss(q, k, v):
+        out = flash_dense_attn(q, k, v, H, bq=128, bk=128, interpret=True,
+                               dropout_rate=rate, dropout_seed=seed)
+        return jnp.sum(jnp.sin(out))
+
+    ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    pal = jax.grad(pal_loss, argnums=(0, 1, 2))(q, k, v)
+    for r, p, name in zip(ref, pal, "qkv"):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r), atol=3e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_flash_dropout_deterministic_and_seed_sensitive():
+    from jukebox_tpu.ops.pallas.flash_attention import flash_dense_attn
+    q, k, v, _, seed = _dropout_case()
+    f = lambda s: np.asarray(flash_dense_attn(
+        q, k, v, 2, bq=128, bk=128, interpret=True, dropout_rate=0.25,
+        dropout_seed=s))
+    np.testing.assert_array_equal(f(seed), f(seed))
+    assert np.abs(f(seed) - f(seed + 1)).max() > 1e-3
+
+
+def test_flash_dropout_rate_zero_identical_to_plain():
+    from jukebox_tpu.ops.pallas.flash_attention import flash_dense_attn
+    q, k, v, _, _ = _dropout_case()
+    a = flash_dense_attn(q, k, v, 2, bq=128, bk=128, interpret=True)
+    b = flash_dense_attn(q, k, v, 2, bq=128, bk=128, interpret=True,
+                         dropout_rate=0.0, dropout_seed=None)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_dropout_block_size_invariant():
+    """The mask hashes GLOBAL positions, so results must not depend on the
+    kernel block decomposition."""
+    from jukebox_tpu.ops.pallas.flash_attention import flash_dense_attn
+    q, k, v, _, seed = _dropout_case(L=256)
+    a = flash_dense_attn(q, k, v, 2, bq=128, bk=128, interpret=True,
+                         dropout_rate=0.25, dropout_seed=seed)
+    b = flash_dense_attn(q, k, v, 2, bq=256, bk=128, interpret=True,
+                         dropout_rate=0.25, dropout_seed=seed)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-6)
