@@ -272,18 +272,54 @@ class ConditionalAutoregressive2D:
                                            dtype, encoder_kv=encoder_kv)
 
     def prefill(self, params, caches, x_prime, x_cond=None, y_cond=None,
-                encoder_kv=None, fp16=False, chunk_size=None, dec_params=None):
+                encoder_kv=None, fp16=False, chunk_size=None, dec_params=None,
+                prefill_mb=None):
         """Fill `caches` with positions [0, P) from x_prime [N, P] (the
         prefill half of primed_sample). Returns (caches, x_tok) ready for
-        sample_segment at t0=P."""
+        sample_segment at t0=P.
+
+        prefill_mb: optional sample-axis microbatch — prefill `prefill_mb`
+        samples at a time, scattering each sub-batch's K/V into the full
+        caches. Bounds the prefill transients (h_in + per-chunk
+        activations scale with the sub-batch, not N), which is what capped
+        hop windows at bs=16 on a 16 GB chip (PERF.md serving mode); the
+        reference's max_batch_size split (sample.py:60-73) applied at the
+        prefill level."""
         N, P = x_prime.shape
         if not self.x_cond:
             assert x_cond is None
             x_cond = self._default_x_cond(N)
         if dec_params is None:
             dec_params = self.transformer.prepare_decode_params(params["transformer"])
-        caches = self._run_prefill(params, dec_params, caches, x_prime, x_cond,
-                                   y_cond, encoder_kv, fp16, chunk_size)[0]
+        if prefill_mb is not None and prefill_mb < N:
+            mb = int(prefill_mb)
+            while N % mb:  # static shapes need equal slices
+                mb -= 1
+            axes = self.transformer.cache_batch_axes(caches)
+
+            def slice_in(x, i):
+                if x is None or x.shape[0] != N:
+                    return x
+                return lax.dynamic_slice_in_dim(x, i * mb, mb, 0)
+
+            def body(caches, i):
+                sub = jax.tree_util.tree_map(
+                    lambda c, a: lax.dynamic_slice_in_dim(c, i * mb, mb, a),
+                    caches, axes)
+                sub = self._run_prefill(
+                    params, dec_params, sub, slice_in(x_prime, i),
+                    slice_in(x_cond, i), slice_in(y_cond, i),
+                    slice_in(encoder_kv, i), fp16, chunk_size)[0]
+                caches = jax.tree_util.tree_map(
+                    lambda c, s, a: lax.dynamic_update_slice_in_dim(
+                        c, s, i * mb, a), caches, sub, axes)
+                return caches, ()
+
+            caches, _ = lax.scan(body, caches, jnp.arange(N // mb))
+        else:
+            caches = self._run_prefill(params, dec_params, caches, x_prime,
+                                       x_cond, y_cond, encoder_kv, fp16,
+                                       chunk_size)[0]
         return caches, x_prime[:, -1:].astype(jnp.int32)
 
     def _run_prefill(self, params, dec_params, caches, x_prime, x_cond, y_cond,

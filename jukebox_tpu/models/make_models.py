@@ -74,6 +74,18 @@ def default_segment_tokens():
     return 512 if on_axon else None
 
 
+def _prefill_mb(n_samples):
+    """Sample-axis prefill microbatch (None = whole batch in one pass).
+    JUKEBOX_PREFILL_MB=<n> bounds the prefill transients to n samples at a
+    time — hop windows at bs>=24 on a 16 GB chip need this (PERF.md
+    serving mode); 0/unset keeps the single-pass prefill."""
+    env = os.environ.get("JUKEBOX_PREFILL_MB")
+    if not env or int(env) <= 0:
+        return None
+    mb = int(env)
+    return mb if mb < n_samples else None
+
+
 MODELS = {
     "5b": ("vqvae", "upsampler_level_0", "upsampler_level_1", "prior_5b"),
     "5b_lyrics": ("vqvae", "upsampler_level_0", "upsampler_level_1", "prior_5b_lyrics"),
@@ -241,7 +253,7 @@ class PriorRuntime:
                              "chunk_size", "sample_tokens"))
         self._sample_init = jax.jit(
             model.sample_init, static_argnames=("n_samples", "fp16",
-                                                "chunk_size"))
+                                                "chunk_size", "prefill_mb"))
         # caches (arg 1) are donated: each segment consumes the previous
         # segment's caches in place
         self._sample_segment = jax.jit(
@@ -376,7 +388,8 @@ class PriorRuntime:
             call_params, dec = self.params, None
         caches, x_tok, x_cond, y_cond, encoder_kv = self._sample_init(
             call_params, n_samples, z=z, z_conds=z_conds, y=y, fp16=fp16,
-            chunk_size=chunk_size, dec_params=dec)
+            chunk_size=chunk_size, dec_params=dec,
+            prefill_mb=_prefill_mb(n_samples))
         t = model.sample_prefix_len(z)
         total = sample_tokens if sample_tokens is not None else model.n_ctx
         if model.single_enc_dec:

@@ -306,12 +306,14 @@ class SimplePrior:
     # stream identical to the monolithic sample().
 
     def sample_init(self, params, n_samples, z=None, z_conds=None, y=None,
-                    fp16=False, chunk_size=None, dec_params=None):
+                    fp16=False, chunk_size=None, dec_params=None,
+                    prefill_mb=None):
         """Returns (caches, x_tok, x_cond, y_cond, encoder_kv). The caller
         derives the start position from the context shapes (prefix_len).
         dec_params: pre-staged segment-shaped transformer params — when
         given, params may omit prior.transformer entirely (zero-copy
-        staging for billion-param decode)."""
+        staging for billion-param decode). prefill_mb: sample-axis prefill
+        microbatch (see ConditionalAutoregressive2D.prefill)."""
         no_past_context = z is None or z.shape[1] == 0
         x_cond, y_cond, prime = self.get_cond(params, z_conds, y)
         encoder_kv = None
@@ -341,7 +343,8 @@ class SimplePrior:
             caches, x_tok = prior.prefill(
                 params["prior"], caches, prefill_tokens.astype(jnp.int32),
                 x_cond=px_cond, y_cond=y_cond, encoder_kv=encoder_kv,
-                fp16=fp16, chunk_size=chunk_size, dec_params=dec_params)
+                fp16=fp16, chunk_size=chunk_size, dec_params=dec_params,
+                prefill_mb=prefill_mb)
         else:
             x_tok = jnp.zeros((n_samples, 1), jnp.int32)
         if (fp16 and dec_params is not None

@@ -450,6 +450,18 @@ class Transformer:
         return any(isinstance(p, dict) and "stack_packed" in p
                    for p in dec_params)
 
+    def cache_batch_axes(self, caches):
+        """Pytree of batch-axis indices matching a standard-layout cache tree
+        (init_cache / init_cache_from_segments): flat segments hold
+        [B, ...] ring buffers (axis 0), scan segments group-stacked
+        [G, B, ...] buffers (axis 1). Used by the prefill microbatcher to
+        slice/scatter caches along the sample axis."""
+        out = []
+        for seg, c_seg in zip(self.decode_plan, caches):
+            ax = 0 if seg[0] == "flat" else 1
+            out.append(jax.tree_util.tree_map(lambda _: ax, c_seg))
+        return out
+
     def _recon_group(self, flat_g):
         """Rebuild the 3 layers' standard param trees from one group's
         packed slices (prefill / pre-conversion decode path). int8-packed

@@ -123,3 +123,38 @@ def test_staged_decode_cross_attn(vqvae):
     prior.stage_decode()
     staged = prior.sample(segment_tokens=8, **kw)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(staged))
+
+
+@pytest.mark.parametrize("mb", [1, 2])
+def test_prefill_microbatch_token_identical(vqvae, mb, monkeypatch):
+    """JUKEBOX_PREFILL_MB splits the cache prefill along the sample axis
+    (bounding the h_in/chunk transients that capped hop windows at bs=16);
+    the scattered sub-batch K/V must reproduce the single-pass prefill
+    exactly, so the decoded token stream is identical."""
+    prior = _upsampler_prior(vqvae)
+    bs = 4
+    rs = np.random.RandomState(5)
+    z = jnp.asarray(rs.randint(0, 32, (bs, 32)))
+    z_conds = [jnp.asarray(rs.randint(0, 32, (bs, 32)))]
+    kw = dict(n_samples=bs, z=z, z_conds=z_conds, y=None,
+              rng=jax.random.key(11), fp16=False, temp=0.99, chunk_size=8)
+    ref = prior.sample(segment_tokens=8, **kw)
+    monkeypatch.setenv("JUKEBOX_PREFILL_MB", str(mb))
+    out = prior.sample(segment_tokens=8, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(out[:, :32]), np.asarray(z))
+
+
+def test_prefill_microbatch_single_enc_dec(vqvae, monkeypatch):
+    """Microbatched prefill through the merged lyric+music path (order-12
+    specials + per-pattern ring caches + prime caches)."""
+    prior = _single_enc_dec_prior(vqvae)
+    bs = 4
+    y = _labels(prior, bs)
+    z = jnp.asarray(np.random.RandomState(6).randint(0, 32, (bs, 32)))
+    kw = dict(n_samples=bs, z=z, z_conds=None, y=y, rng=jax.random.key(12),
+              fp16=False, temp=0.99, chunk_size=8)
+    ref = prior.sample(segment_tokens=8, **kw)
+    monkeypatch.setenv("JUKEBOX_PREFILL_MB", "2")
+    out = prior.sample(segment_tokens=8, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
