@@ -404,15 +404,11 @@ class Transformer:
                 return False
         if self.n_head == 1:
             return True
-        # multi-head needs lane-aligned head slices on TPU (the 1b top's
-        # hd=256 qualifies; 5b's hd=150 does not) and an unpadded A
+        # multi-head: lane-aligned head dims decode via slices, others
+        # (e.g. the 5b top's hd=150) via the kernel's full-width masked-head
+        # path — only equal head widths are required
         A = int(self.m_attn * self.n_in)
-        if A % self.n_head:
-            return False
-        hd = A // self.n_head
-        if not on_tpu:
-            return True  # interpret mode has no tiling constraints
-        return hd % 128 == 0 and A % 128 == 0
+        return A % self.n_head == 0
 
     def pack_stack_segments(self, dec_params, np_=None, quantize=False):
         """Host-side: replace eligible scan segments' stacked trees with the

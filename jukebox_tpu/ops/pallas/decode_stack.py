@@ -251,7 +251,7 @@ def _quick_gelu(x):
 
 
 def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
-            quantized, pat, H, t_ref, *refs):
+            quantized, pat, H, sliced_heads, t_ref, *refs):
     """refs: 3×12 (or 3×16 with int8 scales) packed param refs (weights ANY,
     biases/LN/scales VMEM), 6 cache refs (ANY), x_in; outputs x_out + 6
     aliased cache outs; scratch: canvas, kbuf, vbuf, kstage, vstage, wsem,
@@ -428,19 +428,36 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
             vr = vbuf[:L].astype(jnp.float32)
             qs = q * scale
             cols = lax.broadcasted_iota(jnp.int32, (B, L), 1)
+            # heads: lane-aligned hd runs as sliced [.., hd] ops; otherwise
+            # (e.g. the 5b top's hd=150) every op stays full [.., Ap] width
+            # with a per-head iota column mask — identical Mosaic shape
+            # formulations to the H=1 path, H x the VPU elementwise work
+            # (noise next to the weight stream), zero alignment demands
+            lane_a = lax.broadcasted_iota(jnp.int32, (1, Ap), 1)
+            kbf32 = kbf.astype(jnp.float32)
+            vbf32 = vbf.astype(jnp.float32)
             o_heads = []
+            o_acc = None
             for h in range(H):
-                hs = slice(h * hd, (h + 1) * hd)
-                qh = qs[:, hs]
-                qb = lax.broadcast_in_dim(qh, (L, B, hd), (1, 2))
+                if sliced_heads:
+                    hs = slice(h * hd, (h + 1) * hd)
+                    qh, krh, vrh = qs[:, hs], kr[..., hs], vr[..., hs]
+                    knewh, vnewh = kbf32[:, hs], vbf32[:, hs]
+                    width = hd
+                else:
+                    mh = (lane_a // hd == h) & (lane_a < A)    # [1, Ap]
+                    qh = jnp.where(mh, qs, 0.0)
+                    krh, vrh = kr, vr                          # masked via qh
+                    knewh, vnewh = kbf32, vbf32
+                    width = Ap
+                qb = lax.broadcast_in_dim(qh, (L, B, width), (1, 2))
                 # [B, L] orientation: lane-axis softmax is the only
                 # formulation Mosaic compiles after a lane reduction
                 # (sublane-axis keepdims hits a relayout bug)
-                st = jnp.sum(qb * kr[..., hs], axis=-1).T      # [B, L]
+                st = jnp.sum(qb * krh, axis=-1).T              # [B, L]
                 if ins is not None:
-                    sc_new = jnp.sum(
-                        qh * kbf[:, hs].astype(jnp.float32) * scale,
-                        axis=-1, keepdims=True)                # [B, 1]
+                    sc_new = jnp.sum(qh * knewh * scale,
+                                     axis=-1, keepdims=True)   # [B, 1]
                     st = jnp.where(cols == ins, sc_new, st)
                 if lim is not None:
                     st = jnp.where(cols <= lim, st, NEG)
@@ -452,15 +469,23 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
                                     axis=-1, keepdims=True)    # [B, 1]
                     w_bl = jnp.where(cols == ins, 0.0, w_bl)
                 w_att = w_bl.T                                 # [L, B]
-                sb = lax.broadcast_in_dim(w_att, (L, B, hd), (0, 1))
-                o_h = jnp.sum(sb * vr[..., hs], axis=0)        # [B, hd]
+                sb = lax.broadcast_in_dim(w_att, (L, B, width), (0, 1))
+                o_h = jnp.sum(sb * vrh, axis=0)                # [B, width]
                 if ins is not None:
-                    o_h = o_h + w_ins * vbf[:, hs].astype(jnp.float32)
-                o_heads.append(o_h)
-            o = o_heads[0] if H == 1 else jnp.concatenate(o_heads, axis=-1)
-            if Ap != A:
-                o = jnp.concatenate(
-                    [o, jnp.zeros((B, Ap - A), o.dtype)], axis=-1)
+                    o_h = o_h + w_ins * vnewh
+                if sliced_heads:
+                    o_heads.append(o_h)
+                else:
+                    # other heads' columns carry garbage weights: mask
+                    o_h = jnp.where(mh, o_h, 0.0)
+                    o_acc = o_h if o_acc is None else o_acc + o_h
+            if sliced_heads:
+                o = o_heads[0] if H == 1 else jnp.concatenate(o_heads, axis=-1)
+                if Ap != A:
+                    o = jnp.concatenate(
+                        [o, jnp.zeros((B, Ap - A), o.dtype)], axis=-1)
+            else:
+                o = o_acc                                      # [B, Ap]
             o = o.astype(x.dtype).astype(jnp.float32)
 
             # ---- proj pieces -------------------------------------------------
@@ -560,25 +585,29 @@ def _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
 def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                        lane=128, n_slots=4, dtype=jnp.bfloat16,
                        quantized=False, pat=(1, 2, 3), n_head=1,
-                       interpret=False):
+                       interpret=False, head_mode="auto"):
     """Returns fn(flat_packed, caches6, x, t) -> (x_new, caches6).
 
     flat_packed: list from _flatten_packed(pack_decode_params(p_seg, lane)).
     caches6: kernel-layout caches from pack_caches(..., pat, lane).
     x: [B, 1, S] activation (cast to bf16). t: int32 scalar token position.
     pat: the segment's attn_func pattern (any ordering of {1, 2, 3}).
-    n_head > 1 requires A % n_head == 0 (and lane-aligned head_dim to
-    compile for TPU — the 1b top's hd=256 qualifies).
+    n_head > 1 requires only A % n_head == 0: lane-aligned head dims (1b
+    top hd=256) decode via slices, others (5b top hd=150) via full-width
+    masked-head ops. head_mode forces "sliced"/"masked" (tests).
     """
     assert sorted(pat) == [1, 2, 3], pat
     assert A % n_head == 0
     Ap = _round_up(A, lane)
     PW = _piece_width(S, lane)
     Smax = max(S, Sm, Ap)
+    hd = A // n_head
+    sliced_heads = (hd % lane == 0 and A % lane == 0) \
+        if head_mode == "auto" else head_mode == "sliced"
 
     kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, bc, blocks, G, B,
                                res_scale, n_slots, quantized, tuple(pat),
-                               n_head)
+                               n_head, sliced_heads)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pltpu.ANY)

@@ -61,3 +61,44 @@ def test_stack_decode_matches_xla_path(lane, res_scale):
             e = float(jnp.max(jnp.abs(cr[key].astype(jnp.float32)
                                       - cm[key].astype(jnp.float32))))
             assert e < 0.02, (key, e)
+
+
+@pytest.mark.parametrize("head_mode,n_head", [
+    ("masked", 2),   # non-lane-aligned hd (the 5b top's hd=150 case)
+    ("masked", 3),   # hd that doesn't divide the lane at all
+    ("sliced", 2),   # the 1b top's lane-aligned-hd formulation
+])
+def test_stack_decode_multi_head_modes(head_mode, n_head):
+    """Both head decompositions — lane-aligned slices and full-width masked
+    heads — must reproduce the XLA decode path. The masked path is what
+    qualifies the 5b top (hd=150) for the megakernel."""
+    S, n_ctx, blocks, depth, B, lane = 96, 16, 4, 6, 2, 8
+    A = 24  # m_attn 0.25; hd = 12 or 8 — never lane-aligned
+    assert A % n_head == 0
+    bc = n_ctx // blocks
+    G = depth // 3
+    tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=n_head, n_depth=depth,
+                     attn_order=2, blocks=blocks, m_attn=0.25, m_mlp=1.0,
+                     mask=True)
+    params = tr.init(jax.random.key(3))
+    dec_params = tr.prepare_decode_params(params)
+    caches = tr.init_cache_from_segments(dec_params, B, jnp.bfloat16)
+
+    p_seg, c_seg = dec_params[0], caches[0]
+    packed = _flatten_packed(pack_decode_params(p_seg, lane=lane))
+    mk = jax.jit(build_stack_decode(
+        S, A, S, bc, blocks, G, B, lane=lane, n_head=n_head,
+        interpret=True, head_mode=head_mode))
+    ref = jax.jit(lambda dp, c, x, t: tr.decode_step(dp, c, x, t, fp16=True,
+                                                     fp16_out=True))
+
+    c6 = pack_caches(c_seg, bc, lane=lane)
+    rng = np.random.RandomState(4)
+    for t in range(n_ctx):
+        x = jnp.asarray(0.5 * rng.randn(B, 1, S), jnp.bfloat16)
+        y_ref, caches = ref(dec_params, caches, x, jnp.asarray(t))
+        y_mk, c6 = mk(packed, c6, x, jnp.asarray(t))
+        err = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)
+                                    - y_mk.astype(jnp.float32))))
+        mag = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-6
+        assert err < 0.03 * max(mag, 1.0), (t, err, mag)
