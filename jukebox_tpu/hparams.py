@@ -569,4 +569,8 @@ DEFAULTS["distributed"] = Hyperparams(
     bucket=128,  # accepted & ignored (DDP bucket size has no TPU analogue)
     mesh_dp=-1,
     mesh_mp=1,
+    # ZeRO-3-style fully-sharded prior params + Adam moments over 'dp'
+    # (parallel/shardings.fsdp_param_specs); the memory axis that fits 5B
+    # training on 16 GB chips
+    fsdp=False,
 )

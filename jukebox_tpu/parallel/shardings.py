@@ -9,6 +9,7 @@ the all-reduces on ICI automatically.
 """
 
 import jax
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax.tree_util import tree_map_with_path
 
@@ -46,6 +47,53 @@ def shard_params(mesh, params, specs=None):
     specs = specs if specs is not None else prior_param_specs(params)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def fsdp_param_specs(params, dp_size, base_specs=None, min_size=1 << 14):
+    """ZeRO-3-style fully-sharded parameter placement over the 'dp' axis
+    (SURVEY §2.3 model-state parallelism; the reference's only recourse was
+    fp16 params + CPU EMA). Each large leaf shards its biggest free axis
+    over 'dp' (composing with any Megatron 'mp' split from base_specs);
+    XLA/GSPMD then all-gathers weights where layers need them and keeps
+    params + Adam moments resident at 1/dp per chip — which is what lets a
+    5B-param train step fit a 16 GB-chip mesh. Leaves below min_size (LN
+    gains, biases) stay on their base placement: sharding them would cost
+    more collective latency than the bytes are worth."""
+    if base_specs is None:
+        base_specs = jax.tree_util.tree_map(lambda _: P(), params)
+
+    def spec(path, leaf, base):
+        dims = list(base) + [None] * (leaf.ndim - len(base))
+        if leaf.size < min_size:
+            return base
+        free = [(d, i) for i, d in enumerate(leaf.shape)
+                if dims[i] is None and d % dp_size == 0]
+        if not free:
+            return base
+        _, ax = max(free)
+        dims[ax] = "dp"
+        return P(*dims)
+
+    return jax.tree_util.tree_map_with_path(spec, params, base_specs)
+
+
+def per_device_fraction(params, specs, dp_size, mp_size=1):
+    """Per-device share of total parameter elements under `specs`:
+    1/(dp*mp) when everything shards (perfect ZeRO-3 scaling), 1.0 when
+    replicated. Works on jax.eval_shape trees (no materialisation)."""
+    total = held = 0
+    for leaf, s in zip(jax.tree_util.tree_leaves(params),
+                       jax.tree_util.tree_leaves(specs, is_leaf=lambda x: isinstance(x, P))):
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        total += n
+        div = 1
+        for axis in s:
+            if axis == "dp":
+                div *= dp_size
+            elif axis == "mp":
+                div *= mp_size
+        held += n // div
+    return held / max(total, 1)
 
 
 def decode_param_specs(dec_params):

@@ -315,15 +315,22 @@ def run(hps="teeny", port=29500, **kwargs):
                         scale_factor=2.0 ** (1.0 / hps.fp16_scale_window)) \
         if hps.fp16 else None
 
-    if hps.mesh_mp > 1 and hps.prior:
-        # tensor-parallel param/optimizer placement over the 'mp' axis
-        from jukebox_tpu.parallel.shardings import (prior_param_specs,
+    if hps.prior and (hps.mesh_mp > 1 or hps.fsdp):
+        # tensor-parallel placement over 'mp' and/or fully-sharded (ZeRO-3)
+        # placement over 'dp'; XLA inserts the gathers/reduce-scatters
+        from jukebox_tpu.parallel.shardings import (fsdp_param_specs,
+                                                    prior_param_specs,
                                                     shard_params)
-        specs = prior_param_specs(runtime.params)
+        specs = prior_param_specs(runtime.params) if hps.mesh_mp > 1 else None
+        if hps.fsdp:
+            specs = fsdp_param_specs(runtime.params, mesh.shape["dp"],
+                                     base_specs=specs)
         runtime.params = shard_params(mesh, runtime.params, specs)
-        opt_state = {"m": shard_params(mesh, opt_state["m"], specs),
-                     "v": shard_params(mesh, opt_state["v"], specs),
-                     "step": replicate(mesh, opt_state["step"])}
+        # moments follow the param placement; per-tensor scale factors
+        # (fp16_opt) and the step counter replicate
+        opt_state = {k: (shard_params(mesh, v, specs) if k in ("m", "v")
+                         else replicate(mesh, v))
+                     for k, v in opt_state.items()}
     else:
         runtime.params = replicate(mesh, runtime.params)
         opt_state = replicate(mesh, opt_state)

@@ -96,3 +96,75 @@ def test_tensor_parallel_decode_equivalence():
     z3 = prior.sample(4, y=y, rng=rng, fp16=False, temp=0.0, chunk_size=8,
                       segment_tokens=8)
     assert np.asarray(z3).shape == np.asarray(z1).shape
+
+
+def test_fsdp_equivalence_and_memory_scaling():
+    """ZeRO-3-style fully-sharded params over 'dp' (hps.fsdp): the train
+    step must produce identical numbers to the replicated run, while params
+    + Adam moments occupy ~1/dp of their bytes per device."""
+    from jukebox_tpu.parallel.shardings import (fsdp_param_specs,
+                                                shard_params)
+    prior, step, x, y = _build()
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    p1, o1 = copy(prior.params), adam_init(prior.params)
+    new1, loss1, gn1 = _run(step, p1, o1, x, y)
+
+    mesh = make_mesh(mesh_dp=4, mesh_mp=1, devices=jax.devices()[:4])
+    specs = fsdp_param_specs(prior.params, 4, min_size=64)
+    p2 = shard_params(mesh, copy(prior.params), specs)
+    o2 = adam_init(prior.params)
+    o2 = {"m": shard_params(mesh, o2["m"], specs),
+          "v": shard_params(mesh, o2["v"], specs),
+          "step": replicate(mesh, o2["step"])}
+    x2, y2 = shard_batch(mesh, x), shard_batch(mesh, y)
+    new2, loss2, gn2 = _run(step, p2, o2, x2, y2)
+
+    np.testing.assert_allclose(loss2, loss1, rtol=2e-6)
+    np.testing.assert_allclose(gn2, gn1, rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new1),
+                    jax.tree_util.tree_leaves(new2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-6)
+
+    # the big leaves really are sharded: per-device bytes of the sharded
+    # leaves = leaf/4
+    big = [(l, s) for l, s in zip(jax.tree_util.tree_leaves(p2),
+                                  jax.tree_util.tree_leaves(
+                                      specs, is_leaf=lambda q: hasattr(q, "index")))
+           if l.size >= 64]
+    assert big
+    n_sharded = 0
+    for leaf, _ in big:
+        shard = leaf.sharding.shard_shape(leaf.shape)
+        if int(np.prod(shard)) == leaf.size // 4:
+            n_sharded += 1
+    assert n_sharded >= len(big) // 2, (n_sharded, len(big))
+
+
+def test_fsdp_5b_shape_memory_fits_16gb_mesh():
+    """VERDICT stretch goal: a 5b-shape prior's params + fp32 Adam moments
+    under fsdp_param_specs must fit an 8 x 16 GB mesh. Uses jax.eval_shape
+    (no materialisation) on the real prior_5b_lyrics dimensions."""
+    from jukebox_tpu.models.autoregressive import ConditionalAutoregressive2D
+    from jukebox_tpu.parallel.shardings import (fsdp_param_specs,
+                                                per_device_fraction)
+
+    # prior_5b_lyrics core: width 4800, depth 72 (+ lyric encoder elided —
+    # the music transformer dominates), hparams.py prior_5b_lyrics
+    prior = ConditionalAutoregressive2D(
+        input_shape=(8192,), bins=2048, width=4800, depth=72, heads=8,
+        attn_order=2, blocks=128, x_cond=False, y_cond=True)
+    shapes = jax.eval_shape(prior.init, jax.random.key(0))
+
+    dp = 8
+    specs = fsdp_param_specs(shapes, dp)
+    pf = per_device_fraction(shapes, specs, dp)
+    assert pf < 1.05 / dp, pf  # within 5% of perfect 1/dp scaling
+
+    total_params = sum(int(np.prod(l.shape))
+                      for l in jax.tree_util.tree_leaves(shapes))
+    assert total_params > 4e9  # really 5b scale
+    # params fp32 + m fp32 + v fp32 (worst case; bf16 params and fp16_opt
+    # only shrink this), at the per-device sharded fraction
+    per_device = 3 * 4 * total_params * pf
+    assert per_device < 10e9, per_device  # leaves ~6 GB for activations
