@@ -97,13 +97,38 @@ def sample_level(zs, labels, sampling_kwargs, level, prior, total_length,
     return zs
 
 
-def _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps, rng=None):
-    """Top-to-bottom cascade: sample a level, decode, save, align, html
-    (sample.py:91-121)."""
+def _finalize_level(zs, labels, sampling_kwargs, priors, level, hps,
+                    alignments):
+    """Decode this level's codes to audio + save data/wav/align/html (the
+    tail of the reference's per-level loop, sample.py:104-121). Returns the
+    (possibly newly computed) alignments."""
     from jukebox_tpu.align import get_alignment
     from jukebox_tpu.save_html import save_html
 
-    rng = rng if rng is not None else jax.random.key(hps.get("seed", 0))
+    prior = priors[level]
+    x = prior.decode(zs[level:], start_level=level,
+                     bs_chunks=zs[level].shape[0])
+    if hasattr(prior, "to_host"):
+        prior.to_host()
+
+    logdir = f"{hps.name}/level_{level}"
+    os.makedirs(logdir, exist_ok=True)
+    with open(f"{logdir}/data.jkb", "wb") as f:
+        pickle.dump(dict(zs=[np.asarray(z) for z in zs], labels=labels,
+                         sampling_kwargs=sampling_kwargs,
+                         x=np.asarray(x)), f)
+    save_wav(logdir, x, hps.sr)
+    if (alignments is None and priors[-1] is not None
+            and priors[-1].n_tokens > 0
+            and not isinstance(priors[-1].labeller, EmptyLabeller)):
+        alignments = get_alignment(x, zs, labels[-1], priors[-1],
+                                   sampling_kwargs[-1].get("fp16", False), hps)
+    save_html(logdir, x, zs, labels[-1], alignments, hps)
+    return alignments
+
+
+def _sample_sequential(zs, labels, sampling_kwargs, priors, sample_levels,
+                       hps, rng):
     alignments = None
     for level in reversed(sample_levels):
         prior = priors[level]
@@ -117,26 +142,104 @@ def _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps, rng=None):
         zs = sample_level(zs, labels[level], sampling_kwargs[level], level,
                           prior, total_length, hop_length, hps,
                           jax.random.fold_in(rng, level))
-
-        x = prior.decode(zs[level:], start_level=level,
-                         bs_chunks=zs[level].shape[0])
-        if hasattr(prior, "to_host"):
-            prior.to_host()
-
-        logdir = f"{hps.name}/level_{level}"
-        os.makedirs(logdir, exist_ok=True)
-        with open(f"{logdir}/data.jkb", "wb") as f:
-            pickle.dump(dict(zs=[np.asarray(z) for z in zs], labels=labels,
-                             sampling_kwargs=sampling_kwargs,
-                             x=np.asarray(x)), f)
-        save_wav(logdir, x, hps.sr)
-        if (alignments is None and priors[-1] is not None
-                and priors[-1].n_tokens > 0
-                and not isinstance(priors[-1].labeller, EmptyLabeller)):
-            alignments = get_alignment(x, zs, labels[-1], priors[-1],
-                                       sampling_kwargs[-1].get("fp16", False), hps)
-        save_html(logdir, x, zs, labels[-1], alignments, hps)
+        alignments = _finalize_level(zs, labels, sampling_kwargs, priors,
+                                     level, hps, alignments)
     return zs
+
+
+def _sample_pipelined(zs, labels, sampling_kwargs, priors, sample_levels,
+                      hps, rng):
+    """Window-pipelined cascade (SURVEY Phase 6): an upsampler window
+    [start, end) only needs zs[level+1][: end // cond_downsample]
+    (prior.get_z_conds, models/prior.py:167-174), so lower-level windows
+    start as soon as their conditioning range exists instead of after the
+    whole upper level. The greedy scheduler drains the deepest eligible
+    window first; each level's window order, rng folds, and z_cond slices
+    are unchanged, so the token streams are identical to the sequential
+    cascade. With levels placed on separate mesh slices the stages overlap
+    in wall-clock; on one chip it reaches first audio sooner and keeps
+    every level's weights staged at most once."""
+    alignments = None
+    state = {}
+    for level in reversed(sample_levels):
+        prior = priors[level]
+        assert hps.sample_length % prior.raw_to_tokens == 0, \
+            f"sample_length {hps.sample_length} not a multiple of {prior.raw_to_tokens}"
+        total = hps.sample_length // prior.raw_to_tokens
+        hop = int(hps.hop_fraction[level] * prior.n_ctx)
+        windows = (list(get_starts(total, prior.n_ctx, hop))
+                   if total >= prior.n_ctx else [None])  # None = partial
+        state[level] = dict(windows=windows, next=0, total=total,
+                            rng=jax.random.fold_in(rng, level), staged=False)
+
+    top = sample_levels[-1]
+
+    def eligible(level):
+        st = state[level]
+        if st["next"] >= len(st["windows"]):
+            return False
+        if level == top:
+            return True
+        up = state[level + 1]
+        prior = priors[level]
+        start = st["windows"][st["next"]]
+        if start is None:  # partial window: wait for the full upper level
+            return up["next"] >= len(up["windows"])
+        need = (start + prior.n_ctx) // prior.cond_downsample
+        have = zs[level + 1].shape[1] if level + 1 < len(zs) and \
+            zs[level + 1] is not None else 0
+        return have >= need
+
+    def run_next(level):
+        st = state[level]
+        prior = priors[level]
+        if not st["staged"] and hasattr(prior, "stage_decode"):
+            prior.stage_decode()
+            st["staged"] = True
+        start = st["windows"][st["next"]]
+        if start is None:
+            new_zs = sample_partial_window(zs, labels[level],
+                                           sampling_kwargs[level], level,
+                                           prior, st["total"], hps, st["rng"])
+        else:
+            new_zs = sample_single_window(zs, labels[level],
+                                          sampling_kwargs[level], level,
+                                          prior, start, hps, st["rng"])
+        st["next"] += 1
+        return new_zs
+
+    while any(st["next"] < len(st["windows"]) for st in state.values()):
+        progressed = False
+        # deepest eligible window first: consumers drain as soon as their
+        # conditioning exists
+        for level in sample_levels:
+            if eligible(level):
+                zs = run_next(level)
+                progressed = True
+                break
+        assert progressed, "pipeline stalled (no eligible window)"
+        for level in reversed(sample_levels):
+            st = state[level]
+            if st["next"] == len(st["windows"]) and not st.get("done"):
+                st["done"] = True
+                alignments = _finalize_level(zs, labels, sampling_kwargs,
+                                             priors, level, hps, alignments)
+    return zs
+
+
+def _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps, rng=None):
+    """Top-to-bottom cascade: sample a level, decode, save, align, html
+    (sample.py:91-121). hps.pipeline_cascade=True (or
+    JUKEBOX_PIPELINE=1) interleaves lower-level windows with upper-level
+    decoding — identical tokens, overlapped stages."""
+    rng = rng if rng is not None else jax.random.key(hps.get("seed", 0))
+    pipelined = hps.get("pipeline_cascade",
+                        os.environ.get("JUKEBOX_PIPELINE", "") not in ("", "0"))
+    if pipelined and len(sample_levels) > 1:
+        return _sample_pipelined(zs, labels, sampling_kwargs, priors,
+                                 sample_levels, hps, rng)
+    return _sample_sequential(zs, labels, sampling_kwargs, priors,
+                              sample_levels, hps, rng)
 
 
 def ancestral_sample(labels, sampling_kwargs, priors, hps):

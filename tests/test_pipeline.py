@@ -96,3 +96,31 @@ def test_primed_cascade(tiny_models, tmp_path):
     zs = primed_sample(x, labels, sampling_kwargs, priors, hps)
     assert zs[1].shape == (2, 64)
     assert zs[0].shape == (2, 128)
+
+
+def test_pipelined_cascade_token_identical(tiny_models, tmp_path):
+    """hps.pipeline_cascade interleaves lower-level windows as soon as their
+    z_cond range exists; the greedy schedule must reproduce the sequential
+    cascade's tokens exactly (same per-level window order + rng folds)."""
+    vqvae, priors = tiny_models
+    common = dict(n_samples=2, sample_length=1024, sr=8000,
+                  hop_fraction=(0.5, 0.5), levels=2, n_tokens=0, seed=0)
+    sampling_kwargs = [dict(temp=0.99, fp16=False, chunk_size=8, max_batch_size=2),
+                       dict(temp=0.99, fp16=False, chunk_size=8, max_batch_size=2)]
+    labels = [p.labeller.get_batch_labels([{}, {}]) for p in priors]
+
+    hps_seq = Hyperparams(name=str(tmp_path / "seq"), **common)
+    zs_seq = _sample([np.zeros((2, 0), dtype=np.int64) for _ in priors],
+                     labels, sampling_kwargs, priors, [0, 1], hps_seq)
+
+    hps_pipe = Hyperparams(name=str(tmp_path / "pipe"), pipeline_cascade=True,
+                           **common)
+    zs_pipe = _sample([np.zeros((2, 0), dtype=np.int64) for _ in priors],
+                      labels, sampling_kwargs, priors, [0, 1], hps_pipe)
+
+    # multi-window at both levels so the schedule really interleaves
+    assert zs_seq[1].shape[1] > priors[1].n_ctx
+    for a, b in zip(zs_seq, zs_pipe):
+        np.testing.assert_array_equal(a, b)
+    for level in (0, 1):
+        assert os.path.exists(f"{hps_pipe.name}/level_{level}/item_0.wav")
