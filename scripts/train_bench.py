@@ -99,6 +99,41 @@ for i in range(n_steps):
 
 steady = times[2:] if len(times) > 4 else times[1:]
 mean = sum(steady) / len(steady)
+
+
+def _analytic_train_flops():
+    """Model FLOPs per train step (fwd 2NT for matmuls + factored-attention
+    scores/apply; bwd 2x fwd; +1 fwd recompute under remat). Parameter
+    embeddings/LN excluded (bandwidth-bound, negligible FLOPs)."""
+    import jax.tree_util as jtu
+    mm = 0
+    for path, leaf in jtu.tree_leaves_with_path(params):
+        name = str(getattr(path[-1], "key", ""))
+        if name in ("w", "w_q") and leaf.ndim >= 2:
+            mm += leaf.size
+    if is_prior:
+        tr = model.model.prior.transformer
+        B, L, H = bs, tr.n_ctx, tr.n_head
+        A = int(tr.m_attn * tr.n_in)
+        attn = 0
+        for d in range(tr.n_depth):
+            f = tr.attn_func(d)
+            bc = L // tr.blocks if tr.blocks else L
+            lkv = {0: L / 2, 1: bc, 2: tr.blocks, 3: bc,
+                   4: (tr.blocks or 1) + 1, 6: L, 7: 512}.get(f, L / 2)
+            attn += 4 * B * L * lkv * A  # scores + apply, all heads
+        fwd = 2 * mm * tokens_per_step + attn
+        remat = 1 if hps.get("c_res") or hps.get("c_attn") or hps.get("c_mlp") else 0
+    else:
+        return None  # conv layers run at per-level rates; skip MFU
+    return fwd * (3 + remat)
+
+
+flops = _analytic_train_flops()
 print(f"\n{preset} bs={bs}: {mean*1e3:.1f} ms/step steady "
       f"({1/mean:.2f} steps/s, {tokens_per_step/mean:,.0f} tok/s), "
       f"compile+first {times[0]*1e3:.0f} ms")
+if flops is not None:
+    peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
+    print(f"model flops/step ~{flops/1e12:.2f} TF -> MFU "
+          f"{100 * flops / mean / peak:.1f}% of {peak/1e12:.0f} TF/s peak")
