@@ -322,6 +322,65 @@ def main():
     run_phase("up_anc", phase_up_anc)
     run_phase("up_primed", phase_up_primed)
 
+    # ---- optional: one REAL end-to-end 3-level cascade, wall-clocked -------
+    # BENCH_FULL_CASCADE=1 runs the actual sample.py windowed cascade
+    # (every window, all three levels, vqvae decode, files written) and
+    # records the measured wall-clock next to the schedule-arithmetic
+    # estimate — pinning the extrapolation with a ground-truth point.
+    # Includes compile + staging (reported separately via phase timings).
+    if os.environ.get("BENCH_FULL_CASCADE"):
+        import tempfile
+
+        from jukebox_tpu.hparams import Hyperparams
+        from jukebox_tpu.sample import _sample
+
+        log("full cascade: building all 3 priors")
+        if quantize:
+            # _sample's stage_decode() reads the runtime env knob
+            os.environ["JUKEBOX_INT8_DECODE"] = "1"
+        cascade_bs = int(os.environ.get("BENCH_CASCADE_BS", str(n_samples)))
+        priors = []
+        for li, name in enumerate(prior_names):
+            if li == len(prior_names) - 1 and "prior" in top:
+                pr = top["prior"]       # reuse the phase-built instances
+            elif li == 1 and "prior" in ups:
+                pr = ups["prior"]
+            else:
+                pr = make_prior(setup_hparams(
+                    name, dict(sample_length=sample_length, restore_prior="",
+                               fp16_params=True)), vqvae)
+            priors.append(pr)
+        total_length = 240 * sr
+        metas = [dict(artist="unknown", genre="unknown",
+                      lyrics=poems["ozymandias"], total_length=total_length,
+                      offset=0)] * cascade_bs
+        labels = [p.labeller.get_batch_labels(metas) for p in priors]
+        skw = [dict(temp=0.99, fp16=True, chunk_size=UP_CHUNK,
+                    max_batch_size=bs_up),
+               dict(temp=0.99, fp16=True, chunk_size=UP_CHUNK,
+                    max_batch_size=bs_up),
+               dict(temp=0.99, fp16=True, chunk_size=top_chunk,
+                    max_batch_size=bs_top)]
+        hps_s = Hyperparams(
+            n_samples=cascade_bs, sample_length=sample_length, sr=sr,
+            hop_fraction=(0.5, 0.5, 0.125), levels=3,
+            n_tokens=priors[-1].n_tokens,
+            name=tempfile.mkdtemp(prefix="bench_cascade_"), seed=0)
+        zs = [np.zeros((cascade_bs, 0), dtype=np.int64) for _ in priors]
+        t0 = time.time()
+        zs = _sample(zs, labels, skw, priors, [0, 1, 2], hps_s)
+        wall = time.time() - t0
+        audio = cascade_bs * sample_length / sr
+        full_rate = audio / (wall / 3600.0)
+        log(f"full cascade: {wall:.1f}s wall (incl. compile/staging) for "
+            f"{audio:.1f} audio-sec at bs={cascade_bs} -> "
+            f"{full_rate:.1f} audio-sec/chip-hour measured end-to-end")
+        details["full_cascade"] = dict(
+            wall_s=round(wall, 1), audio_sec=audio, bs=cascade_bs,
+            audio_sec_per_chip_hour=round(full_rate, 2),
+            note="wall-clock includes compile + host->HBM staging; "
+                 "steady-state rates are the phase rows")
+
     # ---- extrapolate to the full cascade -----------------------------------
     # cascade = one full top window + the exact window schedule of the two
     # upsampler levels for that sample length (hop_fraction 0.5).

@@ -264,10 +264,12 @@ class PriorRuntime:
             model.z_forward, static_argnames=("fp16", "get_preds"))
         self._z_forward_attn = {}  # jitted attn-recording fwd per layer-set
         self._staged_light = self._staged_dec = None
+        self._staged_mode = None
 
     def to_host(self):
         self.params = jax.tree_util.tree_map(np.asarray, self.params)
         self._staged_light = self._staged_dec = None
+        self._staged_mode = None
 
     def to_device(self):
         self.params = jax.device_put(self.params)
@@ -292,6 +294,10 @@ class PriorRuntime:
         n_state split, so per-chip weight AND cache HBM divide by mp."""
         if quantize is None and os.environ.get("JUKEBOX_INT8_DECODE"):
             quantize = "int8"
+        if (self._staged_dec is not None
+                and getattr(self, "_staged_mode", None) == (quantize, mesh)):
+            return  # already staged in this form (e.g. re-entering _sample)
+        self._staged_mode = (quantize, mesh)
         host = jax.tree_util.tree_map(np.asarray, self.params)
         tr = host["prior"]["transformer"]
         dec = self.model.prior.transformer.prepare_decode_params(
