@@ -25,7 +25,11 @@ n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 12
 cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
-if os.environ.get("JAX_PLATFORMS") != "cpu":
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize pins its backend regardless of the env var;
+    # force local CPU so ad-hoc runs can't grab the (single-tenant) chip
+    jax.config.update("jax_platforms", "cpu")
+else:
     try:
         jax.config.update("jax_platforms", "axon,cpu")
     except Exception:
