@@ -387,7 +387,10 @@ class Transformer:
     # slot-leading layout once per window at the prefill->decode boundary.
 
     def _stack_eligible(self, seg):
-        if not (seg[0] == "scan" and sorted(seg[1]) == [1, 2, 3]
+        # [1,2,3] cycles, optionally interleaved with f6 cross-attention
+        # (the 5b order-10 (1,2,3,1,2,3,1,2,3,6) segments)
+        if not (seg[0] == "scan" and {1, 2, 3} <= set(seg[1])
+                and set(seg[1]) <= {1, 2, 3, 6}
                 and self.blocks is not None):
             return False
         if self.afn != "quick_gelu":
@@ -421,9 +424,18 @@ class Transformer:
         out = []
         for seg, p_seg in zip(self.decode_plan, dec_params):
             if self._stack_eligible(seg):
+                pat = tuple(seg[1])
                 packed = pack_decode_params(p_seg, np_=np_ or np,
-                                            quantize=quantize)
-                out.append({"stack_packed": _flatten_packed(packed)})
+                                            quantize=quantize, pat=pat)
+                entry = {"stack_packed": _flatten_packed(packed)}
+                # f6 positions keep their encoder-projection params: the
+                # cross-attention K/V cache is projected once per window at
+                # cache init, not streamed per token
+                enc_proj = {str(j): p_seg[j]["attn"]["c_enc_kv"]
+                            for j, f in enumerate(pat) if f == 6}
+                if enc_proj:
+                    entry["enc_proj"] = enc_proj
+                out.append(entry)
             else:
                 out.append(p_seg)
         return out
@@ -434,8 +446,11 @@ class Transformer:
         from jukebox_tpu.ops.pallas.decode_stack import pack_caches
         out = []
         for seg, p_seg, c_seg in zip(self.decode_plan, dec_params, caches):
+            already = (isinstance(c_seg, tuple) and c_seg
+                       and not isinstance(c_seg[0], dict)
+                       and len(c_seg) == 2 * len(seg[1]))
             if (isinstance(p_seg, dict) and "stack_packed" in p_seg
-                    and not (isinstance(c_seg, tuple) and len(c_seg) == 6)):
+                    and not already):
                 out.append(pack_caches(c_seg, self.n_ctx // self.blocks,
                                        pat=tuple(seg[1])))
             else:
@@ -458,15 +473,15 @@ class Transformer:
             out.append(jax.tree_util.tree_map(lambda _: ax, c_seg))
         return out
 
-    def _recon_group(self, flat_g):
-        """Rebuild the 3 layers' standard param trees from one group's
-        packed slices (prefill / pre-conversion decode path). int8-packed
-        segments reconstruct dense's weight-only-int8 form ({"w_q","s","b"})
-        so the prefill matmuls stay int8-streamed too."""
+    def _recon_group(self, flat_g, pat=(1, 2, 3)):
+        """Rebuild the len(pat) layers' standard param trees from one
+        group's packed slices (prefill / pre-conversion decode path).
+        int8-packed segments reconstruct dense's weight-only-int8 form
+        ({"w_q","s","b"}) so the prefill matmuls stay int8-streamed too."""
         from jukebox_tpu.ops.pallas.decode_stack import _pack_keys
         S = self.n_in
         A = int(self.m_attn * S)
-        quant = len(flat_g) == 3 * len(_pack_keys(True))
+        quant = len(flat_g) == len(pat) * len(_pack_keys(True))
         keys = _pack_keys(quant)
         per = len(keys)
         trees = []
@@ -475,11 +490,12 @@ class Transformer:
             return {"w": w, "b": b} if s is None else \
                 {"w_q": w, "b": b, "s": s}
 
-        for j in range(3):
+        for j in range(len(pat)):
             d = dict(zip(keys, flat_g[j * per:(j + 1) * per]))
-            wq = d["w_qkv"]                            # [3, S, Ap]
-            w_attn = jnp.moveaxis(wq[..., :A], 0, 1).reshape(S, 3 * A)
-            b_attn = d["b_qkv"][:, :A].reshape(3 * A)
+            wq = d["w_qkv"]                            # [n_q, S, Ap]
+            n_q = wq.shape[0]                          # 1 for f6 (q only)
+            w_attn = jnp.moveaxis(wq[..., :A], 0, 1).reshape(S, n_q * A)
+            b_attn = d["b_qkv"][:, :A].reshape(n_q * A)
             wp = d["w_proj"]                           # [n_pp, Ap, PW]
             w_proj = jnp.moveaxis(wp, 0, 1).reshape(wp.shape[1], S)[:A]
             w1 = d["w_m1"]                             # [n_m1, S, PW]
@@ -488,7 +504,7 @@ class Transformer:
             w2 = d["w_m2"]                             # [n_m2, Sm, PW]
             w_m2 = jnp.moveaxis(w2, 0, 1).reshape(Sm, S)
             if quant:
-                s_attn = d["s_qkv"][:, :A].reshape(3 * A)
+                s_attn = d["s_qkv"][:, :A].reshape(n_q * A)
                 s_proj = d["s_proj"].reshape(S)
                 s_m1 = d["s_m1"].reshape(Sm)
                 s_m2 = d["s_m2"].reshape(S)
@@ -517,8 +533,18 @@ class Transformer:
                 _, pat, starts = seg
                 n_groups = len(starts)
                 caches = []
-                for f in pat:
+                for j, f in enumerate(pat):
                     attn = self.block_cfg_f(f).attn
+                    if f == 6:
+                        # per-group encoder K/V projections from the kept
+                        # enc_proj params (see pack_stack_segments)
+                        proj = p_seg["enc_proj"][str(j)]
+                        caches.append(jax.vmap(
+                            lambda pj: attn.init_cache(
+                                {"c_enc_kv": pj}, bs, dtype,
+                                encoder_kv=encoder_kv,
+                                sample_ctx=sample_ctx))(proj))
+                        continue
                     one = attn.init_cache(None, bs, dtype,
                                           sample_ctx=sample_ctx)
                     caches.append(jax.tree_util.tree_map(
@@ -577,7 +603,10 @@ class Transformer:
         for seg, p_seg, c_seg in zip(self.decode_plan, dec_params, caches):
             if isinstance(p_seg, dict) and "stack_packed" in p_seg:
                 flat = p_seg["stack_packed"]
-                kernel_caches = isinstance(c_seg, tuple) and len(c_seg) == 6
+                pat_t = tuple(seg[1])
+                kernel_caches = (isinstance(c_seg, tuple) and c_seg
+                                 and not isinstance(c_seg[0], dict)
+                                 and len(c_seg) == 2 * len(pat_t))
                 if method == "decode_step" and kernel_caches:
                     # whole-segment megakernel: one launch per token
                     from jukebox_tpu.ops.pallas.decode_stack import (
@@ -588,23 +617,26 @@ class Transformer:
                     A = int(self.m_attn * S)
                     G = flat[0].shape[0]
                     cfg1 = self.block_cfg_f(1)
+                    enc_rows = 0
+                    if 6 in pat_t:
+                        # read-only enc cache [G, enc_rows, B, Ap]
+                        enc_rows = c_seg[2 * pat_t.index(6)].shape[1]
                     mk = build_stack_decode(
                         S, A, int(self.m_mlp * S), self.n_ctx // self.blocks,
                         self.blocks, G, x.shape[0],
                         res_scale=cfg1.res_scale,
-                        quantized=len(flat) == 3 * len(_pack_keys(True)),
-                        pat=tuple(seg[1]), n_head=self.n_head,
+                        quantized=len(flat) == len(pat_t)
+                        * len(_pack_keys(True)),
+                        pat=pat_t, n_head=self.n_head, enc_rows=enc_rows,
                         interpret=jax.devices()[0].platform == "cpu")
                     x, nc = mk(flat, c_seg, x, args[0])
                 else:
                     # prefill (or pre-conversion decode tail): reconstruct
                     # standard per-group params from the packed arrays
-                    _, pat, starts = seg
-
-                    def body(carry, inp, _pat=pat):
+                    def body(carry, inp, _pat=pat_t):
                         h, gc = carry
                         flat_g, g = inp
-                        trees = self._recon_group(flat_g)
+                        trees = self._recon_group(flat_g, pat=_pat)
                         ncs = []
                         for j, f in enumerate(_pat):
                             h, c = getattr(self.block_cfg_f(f), method)(

@@ -72,13 +72,16 @@ def _piece_width(S, lane, cap=512):
 # Host-side packing: stacked scan-segment params -> chunk-major arrays
 # ---------------------------------------------------------------------------
 
-def pack_decode_params(p_seg, lane=128, np_=np, quantize=False):
-    """Pack a ("scan", (1,2,3), starts) segment's stacked params (tuple of 3
-    trees, each leaf [G, ...]) into the chunk-major, lane-padded layout the
-    kernel DMAs:
+def pack_decode_params(p_seg, lane=128, np_=np, quantize=False,
+                       pat=(1, 2, 3)):
+    """Pack a ("scan", pat, starts) segment's stacked params (tuple of
+    len(pat) trees, each leaf [G, ...]) into the chunk-major, lane-padded
+    layout the kernel DMAs:
 
       w_qkv[j]: [G, 3,      S,  Ap]  (q | k | v column blocks of c_attn,
-                                      columns zero-padded A -> Ap)
+                                      columns zero-padded A -> Ap;
+                                      [G, 1, S, Ap] for f6 layers — their
+                                      K/V come from the encoder cache)
       w_proj[j]:[G, S//PW,  Ap, PW]  (column blocks of c_proj, rows padded)
       w_m1[j]:  [G, Sm//PW, S,  PW]
       w_m2[j]:  [G, S//PW,  Sm, PW]
@@ -87,7 +90,7 @@ def pack_decode_params(p_seg, lane=128, np_=np, quantize=False):
     and cols. Weights cast to bf16; biases/LN stay fp32.
     """
     packed = []
-    for j in range(3):
+    for j, f in enumerate(pat):
         p = p_seg[j]
         wq = np_.asarray(p["attn"]["c_attn"]["w"], np_.float32)
         bq = np_.asarray(p["attn"]["c_attn"]["b"], np_.float32)
@@ -97,8 +100,9 @@ def pack_decode_params(p_seg, lane=128, np_=np, quantize=False):
         b1 = np_.asarray(p["mlp"]["c_fc"]["b"], np_.float32)
         w2 = np_.asarray(p["mlp"]["c_proj"]["w"], np_.float32)
         b2 = np_.asarray(p["mlp"]["c_proj"]["b"], np_.float32)
-        G, S, threeA = wq.shape
-        A = threeA // 3
+        G, S, qcols = wq.shape
+        n_q = 1 if f == 6 else 3  # f6: q-only projection
+        A = qcols // n_q
         Sm = w1.shape[-1]
         Ap = _round_up(A, lane)
         PW = _piece_width(S, lane)
@@ -110,17 +114,17 @@ def pack_decode_params(p_seg, lane=128, np_=np, quantize=False):
             return np_.ascontiguousarray(
                 w.reshape(gg, kk, nn // piece, piece).transpose(0, 2, 1, 3))
 
-        wq3 = cols(wq, A)                       # [G, 3, S, A]
+        wq3 = cols(wq, A)                       # [G, n_q, S, A]
         if Ap != A:
             wq3 = np_.concatenate(
-                [wq3, np_.zeros((G, 3, S, Ap - A), wq3.dtype)], axis=-1)
+                [wq3, np_.zeros((G, n_q, S, Ap - A), wq3.dtype)], axis=-1)
             bq3 = np_.concatenate(
-                [bq.reshape(G, 3, A),
-                 np_.zeros((G, 3, Ap - A), bq.dtype)], axis=-1)
+                [bq.reshape(G, n_q, A),
+                 np_.zeros((G, n_q, Ap - A), bq.dtype)], axis=-1)
             wp_pad = np_.concatenate(
                 [wp, np_.zeros((G, Ap - A, S), wp.dtype)], axis=1)
         else:
-            bq3 = bq.reshape(G, 3, A)
+            bq3 = bq.reshape(G, n_q, A)
             wp_pad = wp
 
         bf16 = jnp.bfloat16
@@ -171,7 +175,7 @@ def _pack_keys(quantize):
 
 def _flatten_packed(packed):
     keys = _pack_keys("s_qkv" in packed[0])
-    return [packed[j][k] for j in range(3) for k in keys]
+    return [packed[j][k] for j in range(len(packed)) for k in keys]
 
 
 # ---------------------------------------------------------------------------
@@ -179,9 +183,11 @@ def _flatten_packed(packed):
 # ---------------------------------------------------------------------------
 
 def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp):
-    """Standard group-stacked caches (tuple of 3 {"k","v"} trees from
+    """Standard group-stacked caches (tuple of len(pat) {"k","v"} trees from
     init_cache_from_segments, in pattern-position order) -> kernel
-    slot-leading lane-padded 6-tuple (k_pat0, v_pat0, k_pat1, ...)."""
+    slot-leading lane-padded 2*len(pat)-tuple (k_pat0, v_pat0, k_pat1, ...).
+    f6 entries ([G, B, enc_len, A] projected encoder K/V) become read-only
+    [G, enc_len, B, Ap] buffers."""
     A = c_seg[0]["k"].shape[-1]
     Ap = _round_up(A, lane)
 
@@ -194,18 +200,32 @@ def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp):
         return np.concatenate(
             [x, np.zeros(x.shape[:-1] + (Ap - A,), x.dtype)], axis=-1)
 
-    out = []
-    for j, f in enumerate(pat):
-        for key in ("k", "v"):
-            c = c_seg[j][key]
-            if f == 2:           # [G,B,bc,bl,A] -> [G,bc,bl,B,Ap]
-                c = padA(xp.transpose(c, (0, 2, 3, 1, 4)))
-            else:                # [G,B,slots,A] -> [G,slots,B,Ap]
-                c = padA(xp.transpose(c, (0, 2, 1, 3)))
-                if f == 3:       # [G,2bc,B,Ap] -> [G,2,bc,B,Ap]
-                    c = c.reshape(c.shape[0], 2, bc, *c.shape[2:])
-            out.append(c)
-    return tuple(out)
+    def convert(f, c, after):
+        # serialize conversions: each transpose materialises a full copy,
+        # so letting XLA overlap all of them doubles the cache HBM (the f2
+        # pair alone is 9 GB at 1b bs=24). The barrier makes conversion i
+        # depend on conversion i-1's result, so each source buffer dies
+        # before the next copy allocates: peak = all sources + ONE target.
+        if xp is jnp and after is not None:
+            c, _ = lax.optimization_barrier((c, after))
+        if f == 2:               # [G,B,bc,bl,A] -> [G,bc,bl,B,Ap]
+            c = padA(xp.transpose(c, (0, 2, 3, 1, 4)))
+        else:                    # [G,B,slots,A] -> [G,slots,B,Ap]
+            c = padA(xp.transpose(c, (0, 2, 1, 3)))
+            if f == 3:           # [G,2bc,B,Ap] -> [G,2,bc,B,Ap]
+                c = c.reshape(c.shape[0], 2, bc, *c.shape[2:])
+        return c
+
+    # biggest arrays first (f2 >> f1/f3/f6), so the largest source is freed
+    # while the small ones still pend
+    order = sorted(((j, key) for j in range(len(pat)) for key in ("k", "v")),
+                   key=lambda jk: pat[jk[0]] != 2)
+    done = {}
+    prev = None
+    for j, key in order:
+        prev = done[(j, key)] = convert(pat[j], c_seg[j][key], prev)
+    return tuple(done[(j, key)] for j in range(len(pat))
+                 for key in ("k", "v"))
 
 
 def init_kernel_caches(G, bc, blocks, B, A, pat=(1, 2, 3), lane=128,
@@ -213,6 +233,7 @@ def init_kernel_caches(G, bc, blocks, B, A, pat=(1, 2, 3), lane=128,
     """Fresh zero caches directly in the kernel's slot-leading layout
     (equivalent to pack_caches(init_cache_from_segments(...)) without
     materializing the standard layout)."""
+    assert 6 not in pat, "f6 caches hold projected encoder K/V, not zeros"
     Ap = _round_up(A, lane)
     z = lambda *s: jnp.zeros(s, dtype)
     shapes = {1: (G, bc, B, Ap), 2: (G, bc, blocks, B, Ap),
@@ -237,7 +258,7 @@ def unpack_caches(c6, A, pat=(1, 2, 3)):
         return jnp.transpose(x[..., :A].reshape(g, two * bc_, b, A),
                              (0, 2, 1, 3))
 
-    conv = {1: t1, 2: t2, 3: t3}
+    conv = {1: t1, 2: t2, 3: t3, 6: t1}
     return tuple({"k": conv[f](c6[2 * j]), "v": conv[f](c6[2 * j + 1])}
                  for j, f in enumerate(pat))
 
@@ -251,26 +272,39 @@ def _quick_gelu(x):
 
 
 def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
-            quantized, pat, H, sliced_heads, t_ref, *refs):
-    """refs: 3×12 (or 3×16 with int8 scales) packed param refs (weights ANY,
-    biases/LN/scales VMEM), 6 cache refs (ANY), x_in; outputs x_out + 6
-    aliased cache outs; scratch: canvas, kbuf, vbuf, kstage, vstage, wsem,
-    crsem, wbsem."""
+            quantized, pat, H, sliced_heads, enc_rows, t_ref, *refs):
+    """refs: len(pat)×12 (or ×16 with int8 scales) packed param refs
+    (weights ANY, biases/LN/scales VMEM), 2*len(pat) cache refs (ANY), x_in;
+    outputs x_out + 2*len(pat) aliased cache outs; scratch: canvas, kbuf,
+    vbuf, kstage, vstage, wsem, crsem, wbsem. pat entries in {1,2,3,6};
+    f6 positions attend a read-only [G, enc_rows, B, Ap] encoder cache
+    with a q-only projection (no write-back)."""
+    P = len(pat)
     n_pp = S // PW
     n_m1 = Sm // PW
     n_m2 = S // PW
-    pieces_per_layer = 3 + n_pp + n_m1 + n_m2
+    n_qkv = [1 if f == 6 else 3 for f in pat]
+    pieces_j = [nq + n_pp + n_m1 + n_m2 for nq in n_qkv]
+    off_j = [sum(pieces_j[:j]) for j in range(P)]
+    tot_pg = sum(pieces_j)
+
+    def lin_to_jl(lin):
+        for j in range(P - 1, -1, -1):
+            if lin >= off_j[j]:
+                return j, lin - off_j[j]
+        raise AssertionError(lin)
+
     keys = _pack_keys(quantized)
     per = len(keys)
     params = [dict(zip(keys, refs[j * per:(j + 1) * per]))
-              for j in range(3)]
-    off = 3 * per
-    k1, v1, k2, v2, k3, v3 = refs[off:off + 6]
-    x_in = refs[off + 6]
-    x_out = refs[off + 7]
-    k1o, v1o, k2o, v2o, k3o, v3o = refs[off + 8:off + 14]
+              for j in range(P)]
+    off = P * per
+    cache_flat = refs[off:off + 2 * P]
+    x_in = refs[off + 2 * P]
+    x_out = refs[off + 2 * P + 1]
+    cache_out_flat = refs[off + 2 * P + 2:off + 4 * P + 2]
     (canvas, kbuf, vbuf, kstage, vstage,
-     wsem, crsem, wbsem) = refs[off + 14:]
+     wsem, crsem, wbsem) = refs[off + 4 * P + 2:]
 
     t = t_ref[0, 0]
     s_row = t % bc          # func-1 slot / func-2 column
@@ -280,18 +314,20 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
     hd = A // H
     scale = float(hd) ** -0.25
 
-    cache_in = {0: (k1, v1), 1: (k2, v2), 2: (k3, v3)}
-    cache_w = {0: (k1o, v1o), 1: (k2o, v2o), 2: (k3o, v3o)}
-    tot_pg = pieces_per_layer * 3
+    cache_in = {j: (cache_flat[2 * j], cache_flat[2 * j + 1])
+                for j in range(P)}
+    cache_w = {j: (cache_out_flat[2 * j], cache_out_flat[2 * j + 1])
+               for j in range(P)}
 
     # -- weight-piece DMA plumbing: N_SLOTS-deep pipeline, issued
     #    (N_SLOTS-1) ahead so the DMA queue stays full through the attention
     #    bubble between the qkv and proj pieces ----------------------------
-    def piece_geom(local):
+    def piece_geom(j, local):
         """(key, piece_idx, rows, cols) for layer-local piece index."""
-        if local < 3:
+        nq = n_qkv[j]
+        if local < nq:
             return "w_qkv", local, S, Ap
-        local -= 3
+        local -= nq
         if local < n_pp:
             return "w_proj", local, Ap, PW
         local -= n_pp
@@ -300,7 +336,7 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
         return "w_m2", local - n_m1, Sm, PW
 
     def piece_dma(j, local, g, slot):
-        key, idx, rows, cols = piece_geom(local)
+        key, idx, rows, cols = piece_geom(j, local)
         return pltpu.make_async_copy(params[j][key].at[g, idx],
                                      canvas.at[slot, :rows, :cols],
                                      wsem.at[slot])
@@ -313,26 +349,25 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
         lin + N_SLOTS - 1 (its slot was freed N_SLOTS-1 consumptions ago)."""
         nxt = lin + N_SLOTS - 1
         if nxt < tot_pg:
-            nj, nl = divmod(nxt, pieces_per_layer)
+            nj, nl = lin_to_jl(nxt)
             piece_dma(nj, nl, g, slot_of(g, nxt)).start()
         else:
-            nl = nxt - tot_pg
-            nj, nl = divmod(nl, pieces_per_layer)
+            nj, nl = lin_to_jl(nxt - tot_pg)
             @pl.when(g + 1 < G)
             def _():
                 piece_dma(nj, nl, jnp.minimum(g + 1, G - 1),
                           slot_of(g + 1, nxt - tot_pg)).start()
 
     # canvas views by geometry (compute side)
-    def canvas_rows(local, slot):
-        _, _, rows, cols = piece_geom(local)
+    def canvas_rows(j, local, slot):
+        _, _, rows, cols = piece_geom(j, local)
         return canvas[slot, :rows, :cols]
 
     def piece_mm(uv, j, local, slot, g):
         """uv @ piece (fp32 accumulate), dequantised per out column when the
         weights are int8 (weight-only; scales factor out of the dot)."""
-        key, idx, _, _ = piece_geom(local)
-        w = canvas_rows(local, slot)
+        key, idx, _, _ = piece_geom(j, local)
+        w = canvas_rows(j, local, slot)
         y = jnp.dot(uv, w.astype(uv.dtype),
                     preferred_element_type=jnp.float32)
         if quantized:
@@ -341,7 +376,7 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
 
     # warm-up: first N_SLOTS-1 pieces of group 0
     for c in range(min(N_SLOTS - 1, tot_pg)):
-        nj, nl = divmod(c, pieces_per_layer)
+        nj, nl = lin_to_jl(c)
         piece_dma(nj, nl, 0, c % N_SLOTS).start()
 
     # -- cache read DMAs (slot-leading layouts; dynamic index on leading
@@ -358,6 +393,11 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
                                        crsem.at[0])
             vd = pltpu.make_async_copy(vi.at[g, s_row], vbuf.at[:blocks],
                                        crsem.at[1])
+        elif f == 6:
+            kd = pltpu.make_async_copy(ki.at[g], kbuf.at[:enc_rows],
+                                       crsem.at[0])
+            vd = pltpu.make_async_copy(vi.at[g], vbuf.at[:enc_rows],
+                                       crsem.at[1])
         else:
             kd = pltpu.make_async_copy(ki.at[g, ring_r], kbuf.at[:bc],
                                        crsem.at[0])
@@ -369,15 +409,17 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
         x = x_out[:]                                   # [B, S]
         lin = 0
 
-        for j in range(3):
+        for j in range(P):
             p = params[j]
             f = pat[j]
             # previous group's write-back of this layer's stage buffers
-            @pl.when(g > 0)
-            def _(j=j, f=f):
-                _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
-                        s_row, b_col, ring_w, jnp.maximum(g - 1, 0),
-                        B).wait_all()
+            # (f6 is read-only: nothing staged, nothing to wait on)
+            if f != 6:
+                @pl.when(g > 0)
+                def _(j=j, f=f):
+                    _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
+                            s_row, b_col, ring_w, jnp.maximum(g - 1, 0),
+                            B).wait_all()
 
             kd, vd = cache_read(j, g)
             kd.start()
@@ -389,29 +431,34 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
             u = ((xf - mu) * lax.rsqrt(var + 1e-5) * p["ln0_g"][g]
                  + p["ln0_b"][g]).astype(x.dtype)      # [B, S]
 
-            # ---- q, k, v pieces ---------------------------------------------
+            # ---- q (, k, v) pieces ------------------------------------------
             qkv = []
-            for piece in range(3):
+            for piece in range(n_qkv[j]):
                 slot = slot_of(g, lin)
-                piece_dma(j, lin % pieces_per_layer, g, slot).wait()
+                piece_dma(j, lin - off_j[j], g, slot).wait()
                 issue_next(j, lin, g)
-                qkv.append(piece_mm(u, j, lin % pieces_per_layer, slot, g)
+                qkv.append(piece_mm(u, j, lin - off_j[j], slot, g)
                            + p["b_qkv"][g, piece])
                 lin += 1
-            q, k, v = qkv                              # [B, Ap] fp32
 
-            kbf = k.astype(x.dtype)
-            vbf = v.astype(x.dtype)
-            if f == 1:
-                L, lim, ins = bc, s_row, s_row
-            elif f == 2:
-                L, lim, ins = blocks, b_col, b_col
+            if f == 6:
+                q = qkv[0]                             # [B, Ap] fp32
+                kbf = vbf = None
+                L, lim, ins = enc_rows, None, None
             else:
-                L, lim, ins = bc, None, None           # reads the PREV ring
-            kstage[j * B:(j + 1) * B, :] = kbf
-            vstage[j * B:(j + 1) * B, :] = vbf
-            _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
-                    s_row, b_col, ring_w, g, B).start_all()
+                q, k, v = qkv                          # [B, Ap] fp32
+                kbf = k.astype(x.dtype)
+                vbf = v.astype(x.dtype)
+                if f == 1:
+                    L, lim, ins = bc, s_row, s_row
+                elif f == 2:
+                    L, lim, ins = blocks, b_col, b_col
+                else:
+                    L, lim, ins = bc, None, None       # reads the PREV ring
+                kstage[j * B:(j + 1) * B, :] = kbf
+                vstage[j * B:(j + 1) * B, :] = vbf
+                _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
+                        s_row, b_col, ring_w, g, B).start_all()
 
             kd.wait()
             vd.wait()
@@ -434,21 +481,25 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
             # formulations to the H=1 path, H x the VPU elementwise work
             # (noise next to the weight stream), zero alignment demands
             lane_a = lax.broadcasted_iota(jnp.int32, (1, Ap), 1)
-            kbf32 = kbf.astype(jnp.float32)
-            vbf32 = vbf.astype(jnp.float32)
+            if ins is not None:
+                kbf32 = kbf.astype(jnp.float32)
+                vbf32 = vbf.astype(jnp.float32)
             o_heads = []
             o_acc = None
             for h in range(H):
+                knewh = vnewh = None
                 if sliced_heads:
                     hs = slice(h * hd, (h + 1) * hd)
                     qh, krh, vrh = qs[:, hs], kr[..., hs], vr[..., hs]
-                    knewh, vnewh = kbf32[:, hs], vbf32[:, hs]
+                    if ins is not None:
+                        knewh, vnewh = kbf32[:, hs], vbf32[:, hs]
                     width = hd
                 else:
                     mh = (lane_a // hd == h) & (lane_a < A)    # [1, Ap]
                     qh = jnp.where(mh, qs, 0.0)
                     krh, vrh = kr, vr                          # masked via qh
-                    knewh, vnewh = kbf32, vbf32
+                    if ins is not None:
+                        knewh, vnewh = kbf32, vbf32
                     width = Ap
                 qb = lax.broadcast_in_dim(qh, (L, B, width), (1, 2))
                 # [B, L] orientation: lane-axis softmax is the only
@@ -492,9 +543,9 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
             a_cols = []
             for piece in range(n_pp):
                 slot = slot_of(g, lin)
-                piece_dma(j, lin % pieces_per_layer, g, slot).wait()
+                piece_dma(j, lin - off_j[j], g, slot).wait()
                 issue_next(j, lin, g)
-                a_cols.append(piece_mm(o, j, lin % pieces_per_layer, slot, g)
+                a_cols.append(piece_mm(o, j, lin - off_j[j], slot, g)
                               + p["b_proj"][g, piece])
                 lin += 1
             a = jnp.concatenate(a_cols, axis=-1).astype(x.dtype)  # [B, S]
@@ -510,9 +561,9 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
             h_cols = []
             for piece in range(n_m1):
                 slot = slot_of(g, lin)
-                piece_dma(j, lin % pieces_per_layer, g, slot).wait()
+                piece_dma(j, lin - off_j[j], g, slot).wait()
                 issue_next(j, lin, g)
-                y = piece_mm(um, j, lin % pieces_per_layer, slot, g)
+                y = piece_mm(um, j, lin - off_j[j], slot, g)
                 h_cols.append(_quick_gelu(y + p["b_m1"][g, piece]))
                 lin += 1
             h = jnp.concatenate(h_cols, axis=-1).astype(x.dtype)  # [B, Sm]
@@ -520,9 +571,9 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
             m_cols = []
             for piece in range(n_m2):
                 slot = slot_of(g, lin)
-                piece_dma(j, lin % pieces_per_layer, g, slot).wait()
+                piece_dma(j, lin - off_j[j], g, slot).wait()
                 issue_next(j, lin, g)
-                m_cols.append(piece_mm(h, j, lin % pieces_per_layer, slot, g)
+                m_cols.append(piece_mm(h, j, lin - off_j[j], slot, g)
                               + p["b_m2"][g, piece])
                 lin += 1
             m = jnp.concatenate(m_cols, axis=-1).astype(x.dtype)  # [B, S]
@@ -538,10 +589,11 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
     x_out[:] = x_in[:]
     lax.fori_loop(0, G, group_body, 0)
 
-    # epilogue: final group's write-backs
-    for j in range(3):
-        _wb_dma(j, pat[j], cache_w, kstage, vstage, wbsem, bc,
-                s_row, b_col, ring_w, G - 1, B).wait_all()
+    # epilogue: final group's write-backs (f6 caches are read-only)
+    for j in range(P):
+        if pat[j] != 6:
+            _wb_dma(j, pat[j], cache_w, kstage, vstage, wbsem, bc,
+                    s_row, b_col, ring_w, G - 1, B).wait_all()
 
 
 class _WbPair:
@@ -585,37 +637,44 @@ def _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
 def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                        lane=128, n_slots=4, dtype=jnp.bfloat16,
                        quantized=False, pat=(1, 2, 3), n_head=1,
-                       interpret=False, head_mode="auto"):
+                       interpret=False, head_mode="auto", enc_rows=0):
     """Returns fn(flat_packed, caches6, x, t) -> (x_new, caches6).
 
     flat_packed: list from _flatten_packed(pack_decode_params(p_seg, lane)).
     caches6: kernel-layout caches from pack_caches(..., pat, lane).
     x: [B, 1, S] activation (cast to bf16). t: int32 scalar token position.
-    pat: the segment's attn_func pattern (any ordering of {1, 2, 3}).
+    pat: the segment's attn_func pattern — any ordering of {1, 2, 3},
+    optionally interleaved with 6 (encoder cross-attention, e.g. the 5b
+    order-10 (1,2,3,1,2,3,1,2,3,6) segments); enc_rows gives the f6
+    cache's row count (the lyric-encoder length).
     n_head > 1 requires only A % n_head == 0: lane-aligned head dims (1b
     top hd=256) decode via slices, others (5b top hd=150) via full-width
     masked-head ops. head_mode forces "sliced"/"masked" (tests).
     """
-    assert sorted(pat) == [1, 2, 3], pat
+    assert set(pat) <= {1, 2, 3, 6} and {1, 2, 3} <= set(pat), pat
     assert A % n_head == 0
+    assert 6 not in pat or enc_rows > 0, "f6 segments need enc_rows"
+    P = len(pat)
     Ap = _round_up(A, lane)
     PW = _piece_width(S, lane)
     Smax = max(S, Sm, Ap)
     hd = A // n_head
     sliced_heads = (hd % lane == 0 and A % lane == 0) \
         if head_mode == "auto" else head_mode == "sliced"
+    max_rows = max(blocks if f == 2 else enc_rows if f == 6 else bc
+                   for f in pat)
 
     kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, bc, blocks, G, B,
                                res_scale, n_slots, quantized, tuple(pat),
-                               n_head, sliced_heads)
+                               n_head, sliced_heads, enc_rows)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pltpu.ANY)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     w_keys = {"w_qkv", "w_proj", "w_m1", "w_m2"}
     param_specs = [anym if k in w_keys else vmem
-                   for _ in range(3) for k in _pack_keys(quantized)]
-    cache_specs = [anym] * 6
+                   for _ in range(P) for k in _pack_keys(quantized)]
+    cache_specs = [anym] * (2 * P)
     canvas_dtype = jnp.int8 if quantized else dtype
 
     def fn(flat_packed, caches, x, t):
@@ -630,22 +689,22 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                 jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches],
             scratch_shapes=[
                 pltpu.VMEM((n_slots, Smax, max(Ap, PW)), canvas_dtype),
-                pltpu.VMEM((max(bc, blocks), B, Ap), dtype),  # K read buf
-                pltpu.VMEM((max(bc, blocks), B, Ap), dtype),  # V read buf
-                pltpu.VMEM((3 * B, Ap), dtype),         # k write stage
-                pltpu.VMEM((3 * B, Ap), dtype),         # v write stage
+                pltpu.VMEM((max_rows, B, Ap), dtype),   # K read buf
+                pltpu.VMEM((max_rows, B, Ap), dtype),   # V read buf
+                pltpu.VMEM((P * B, Ap), dtype),         # k write stage
+                pltpu.VMEM((P * B, Ap), dtype),         # v write stage
                 pltpu.SemaphoreType.DMA((n_slots,)),    # weight piece sems
                 pltpu.SemaphoreType.DMA((2,)),          # cache read sems
-                pltpu.SemaphoreType.DMA((3, 2)),        # write-back sems
+                pltpu.SemaphoreType.DMA((P, 2)),        # write-back sems
             ],
             input_output_aliases={
-                # inputs: t(0), 36 params, 6 caches, x -> cache outputs 1..6
-                1 + len(param_specs) + i: 1 + i for i in range(6)},
+                # inputs: t(0), P*keys params, 2P caches, x -> cache outs
+                1 + len(param_specs) + i: 1 + i for i in range(2 * P)},
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 has_side_effects=True),
         )(t2, *flat_packed, *caches, x2)
         x_new = outs[0].reshape(B, 1, S)
-        return x_new, tuple(outs[1:7])
+        return x_new, tuple(outs[1:1 + 2 * P])
 
     return fn

@@ -98,3 +98,61 @@ def test_packed_decode_after_conversion_matches_standard(quantize, order):
                                     - y_pkd.astype(jnp.float32))))
         mag = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)))) + 1e-6
         assert err < 0.03 * max(mag, 1.0), (t, err, mag)
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_packed_decode_with_f6_segments(quantize):
+    """5b order-10 plan shape: a (1,2,3,1,2,3,1,2,3,6) scan segment — the
+    f6 cross-attention layers ride the megakernel with a read-only
+    projected-encoder cache and a q-only weight stream. Token-by-token
+    equivalence vs the XLA segment path, interpret mode."""
+    S, n_ctx, blocks, depth, B, enc_l = 64, 16, 4, 49, 2, 16
+    tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=2, n_depth=depth,
+                     attn_order=10, blocks=blocks, m_attn=0.25, m_mlp=1.0,
+                     mask=True, encoder_dims=enc_l)
+    pats = [seg[1] for seg in tr.decode_plan if seg[0] == "scan"]
+    assert any(6 in p for p in pats), tr.decode_plan
+
+    params = tr.init(jax.random.key(1))
+    dec = tr.prepare_decode_params(params)
+    if quantize:
+        from jukebox_tpu.ops.core import quantize_dense_tree
+        dec_q = jax.tree_util.tree_map(np.asarray, dec)
+        dec_q = quantize_dense_tree(dec_q)
+        dec_std = jax.tree_util.tree_map(jnp.asarray, dec_q)
+        packed = tr.pack_stack_segments(tr.prepare_decode_params(params),
+                                        quantize=True)
+    else:
+        dec_std = dec
+        packed = tr.pack_stack_segments(dec)
+    assert tr.has_packed_segments(packed)
+    assert any(isinstance(p, dict) and "enc_proj" in p for p in packed)
+
+    rng = np.random.RandomState(2)
+    enc_kv = jnp.asarray(0.5 * rng.randn(B, enc_l, S), jnp.bfloat16)
+    c_std = tr.init_cache_from_segments(dec_std, B, jnp.bfloat16,
+                                        encoder_kv=enc_kv)
+    c_pkd = tr.init_cache_from_segments(packed, B, jnp.bfloat16,
+                                        encoder_kv=enc_kv)
+
+    # prefill one chunk through both, then convert to the kernel layout
+    x_chunk = jnp.asarray(0.5 * rng.randn(B, 8, S), jnp.bfloat16)
+    nb = 8 // (n_ctx // blocks)
+    _, c_std = tr.prefill_chunk(dec_std, c_std, x_chunk, jnp.int32(0), nb,
+                                fp16=True)
+    _, c_pkd = tr.prefill_chunk(packed, c_pkd, x_chunk, jnp.int32(0), nb,
+                                fp16=True)
+    c_pkd = tr.pack_segment_caches(packed, c_pkd)
+
+    ref = jax.jit(lambda c, x, t: tr.decode_step(dec_std, c, x, t, fp16=True,
+                                                 fp16_out=True))
+    mkp = jax.jit(lambda c, x, t: tr.decode_step(packed, c, x, t, fp16=True,
+                                                 fp16_out=True))
+    for t in range(8, n_ctx):
+        x = jnp.asarray(0.5 * rng.randn(B, 1, S), jnp.bfloat16)
+        y_std, c_std = ref(c_std, x, jnp.asarray(t))
+        y_pkd, c_pkd = mkp(c_pkd, x, jnp.asarray(t))
+        err = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)
+                                    - y_pkd.astype(jnp.float32))))
+        mag = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)))) + 1e-6
+        assert err < 0.04 * max(mag, 1.0), (t, err, mag)
