@@ -140,6 +140,29 @@ def dense_attn(q, k, v, n_head, mask=None, record=False, dropout_rng=None,
     return merge_heads(a), rec
 
 
+def _slot_leading_attn(q, k_t, v_t, n_head, mask=None):
+    """Attention against slot-leading caches: q [B, C, S]; k_t/v_t
+    [L, B, S_kv] (the decode megakernel's cache orientation). The layout
+    difference folds into the dot_general (XLA contracts arbitrary dim
+    orders natively), so reading a multi-GB cache during prefill never
+    materialises a transposed copy. Same numerics as dense_attn (fused
+    q*s @ k*s scale, fp32 softmax)."""
+    B, C, S = q.shape
+    hd = S // n_head
+    scale = 1.0 / math.sqrt(math.sqrt(hd))
+    qh = q.reshape(B, C, n_head, hd) * jnp.asarray(scale, q.dtype)
+    kh = k_t.reshape(-1, B, n_head, hd) * jnp.asarray(scale, k_t.dtype)
+    vh = v_t.reshape(-1, B, n_head, hd)
+    w = jnp.einsum("bchd,lbhd->bhcl", qh, kh, precision=_PRECISION,
+                   preferred_element_type=jnp.float32)
+    if mask is not None:
+        w = w * mask + NEG * (1 - mask)
+    w = jax.nn.softmax(w, axis=-1)
+    a = jnp.einsum("bhcl,lbhd->bchd", w.astype(q.dtype), vh,
+                   precision=_PRECISION, preferred_element_type=q.dtype)
+    return a.reshape(B, C, S)
+
+
 @dataclass(frozen=True)
 class FactoredAttention:
     n_in: int
@@ -473,15 +496,25 @@ class FactoredAttention:
     # -- chunked prefill ------------------------------------------------------
 
     def prefill_chunk(self, params, cache, x, t0, n_blocks, encoder_kv=None,
-                      g=None):
+                      g=None, kernel_cache=False):
         """Prefill the cache with a block-aligned chunk.
 
         x: [B, C, n_in] with C = n_blocks * block_ctx (or arbitrary C for
         funcs 0/6/7); t0: traced start position, multiple of block_ctx.
         Returns (out [B, C, n_in], cache). g: optional group index into
         stacked [G, ...] cache buffers (see decode_step).
+
+        kernel_cache=True: the cache leaves are in the decode megakernel's
+        slot-leading lane-padded layout (ops/pallas/decode_stack) and the
+        prefill writes/reads them DIRECTLY — no standard-layout copy ever
+        exists, so the per-window prefill->decode conversion (whose
+        source+target transient capped hop batch sizes) disappears.
+        Supported for funcs 1/2/3/6 (the packed-segment funcs); g required.
         """
         f = self.attn_func
+        if kernel_cache:
+            return self._prefill_chunk_kernel(params, cache, x, t0,
+                                              n_blocks, g)
         if f == 6:
             q = dense(params["c_attn"], x)
             a, _ = dense_attn(q, self._group_view(cache["k"], g),
@@ -592,5 +625,119 @@ class FactoredAttention:
                               mask.astype(jnp.float32))
         else:
             raise NotImplementedError(f"attn_func {f} prefill")
+
+        return dense(params["c_proj"], a), cache
+
+    def _prefill_chunk_kernel(self, params, cache, x, t0, n_blocks, g):
+        """prefill_chunk against megakernel-layout caches (slot-leading,
+        lane-padded; see ops/pallas/decode_stack docstring):
+          f1 [G, bc, B, Ap]   f2 [G, bc, blocks, B, Ap]
+          f3 [G, 2, bc, B, Ap]   f6 [G, enc, B, Ap] (read-only)
+        Chunk K/V transpose before the write (a few MB); cache READS stay
+        in the slot-leading layout via _slot_leading_attn — XLA folds the
+        layout into the dots, so no multi-GB transposed copy is created."""
+        f = self.attn_func
+        assert g is not None, "kernel_cache prefill is group-scanned"
+        Ap = cache["k"].shape[-1]
+
+        if f == 6:
+            q = dense(params["c_attn"], x)
+            A = q.shape[-1]
+            kg = self._group_view(cache["k"], g)[..., :A]
+            vg = self._group_view(cache["v"], g)[..., :A]
+            a = _slot_leading_attn(q, kg, vg, self.n_head, None)
+            return dense(params["c_proj"], a), cache
+
+        q, k, v = self._qkv(params, x, None)
+        B, C, S = v.shape
+        bc = self.block_ctx
+
+        def padA(t):  # [..., S] -> [..., Ap]
+            if Ap == S:
+                return t
+            widths = [(0, 0)] * (t.ndim - 1) + [(0, Ap - S)]
+            return jnp.pad(t, widths)
+
+        if f == 1:
+            assert C == n_blocks * bc
+            mask = _causal_mask(bc, bc, 0)
+            a, _ = dense_attn(q.reshape(B * n_blocks, bc, S),
+                              k.reshape(B * n_blocks, bc, S),
+                              v.reshape(B * n_blocks, bc, S),
+                              self.n_head, mask)
+            a = a.reshape(B, C, S)
+            # only the final block's K/V matters: [B, bc, S] -> [bc, B, Ap]
+            kT = padA(jnp.transpose(k[:, -bc:], (1, 0, 2)))
+            vT = padA(jnp.transpose(v[:, -bc:], (1, 0, 2)))
+            cache = {"k": self._dus(cache["k"], kT, (0, 0, 0), g),
+                     "v": self._dus(cache["v"], vT, (0, 0, 0), g)}
+        elif f == 2:
+            assert C == n_blocks * bc
+            b0 = t0 // bc
+            # chunk columns [B, nb, bc, S] -> [bc, nb, B, Ap], write at b0
+            kT = padA(jnp.transpose(k.reshape(B, n_blocks, bc, S),
+                                    (2, 1, 0, 3)))
+            vT = padA(jnp.transpose(v.reshape(B, n_blocks, bc, S),
+                                    (2, 1, 0, 3)))
+            cache = {"k": self._dus(cache["k"], kT, (0, b0, 0, 0), g),
+                     "v": self._dus(cache["v"], vT, (0, b0, 0, 0), g)}
+            # query (local block j, column c) attends cache[c, :b0+j+1]:
+            # batch the bc columns through the head axis of
+            # _slot_leading_attn? No — fold c into the batch dim instead.
+            kg = self._group_view(cache["k"], g)[..., :S]
+            vg = self._group_view(cache["v"], g)[..., :S]
+            qc = jnp.transpose(q.reshape(B, n_blocks, bc, S), (0, 2, 1, 3))
+            hd = S // self.n_head
+            scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(hd)), q.dtype)
+            qh = qc.reshape(B, bc, n_blocks, self.n_head, hd) * scale
+            kh = kg.reshape(bc, self.blocks, B, self.n_head, hd) \
+                * scale.astype(kg.dtype)
+            vh = vg.reshape(bc, self.blocks, B, self.n_head, hd)
+            w = jnp.einsum("bcjhd,clbhd->bchjl", qh, kh,
+                           precision=_PRECISION,
+                           preferred_element_type=jnp.float32)
+            mask = (jnp.arange(self.blocks)[None, :]
+                    <= (b0 + jnp.arange(n_blocks))[:, None]).astype(jnp.float32)
+            w = w * mask + NEG * (1 - mask)
+            w = jax.nn.softmax(w, axis=-1)
+            a = jnp.einsum("bchjl,clbhd->bcjhd", w.astype(q.dtype), vh,
+                           precision=_PRECISION,
+                           preferred_element_type=q.dtype)
+            a = (a.reshape(B, bc, n_blocks, S).transpose(0, 2, 1, 3)
+                 .reshape(B, C, S))
+        elif f == 3:
+            assert C == n_blocks * bc
+            b0 = t0 // bc
+            prev_ring = (b0 - 1) % 2
+            # previous block from the ring: [bc, B, Ap] -> [B, bc, S]
+            pk = self._dsl(cache["k"], (prev_ring, 0, 0, 0),
+                           (1, bc, cache["k"].shape[3], Ap), g)[0]
+            pv = self._dsl(cache["v"], (prev_ring, 0, 0, 0),
+                           (1, bc, cache["v"].shape[3], Ap), g)[0]
+            prev_k = jnp.transpose(pk[..., :S], (1, 0, 2))
+            prev_v = jnp.transpose(pv[..., :S], (1, 0, 2))
+            kb = k.reshape(B, n_blocks, bc, S)
+            vb = v.reshape(B, n_blocks, bc, S)
+            k_shift = jnp.concatenate([prev_k[:, None], kb[:, :-1]], axis=1)
+            v_shift = jnp.concatenate([prev_v[:, None], vb[:, :-1]], axis=1)
+            a, _ = dense_attn(q.reshape(B * n_blocks, bc, S),
+                              k_shift.reshape(B * n_blocks, bc, S),
+                              v_shift.reshape(B * n_blocks, bc, S),
+                              self.n_head, None)
+            a = a.reshape(B, C, S)
+            # maintain the double buffer: the chunk's last two blocks
+            last_ring = (b0 + n_blocks - 1) % 2
+            kT = padA(jnp.transpose(kb[:, -1], (1, 0, 2)))[None]
+            vT = padA(jnp.transpose(vb[:, -1], (1, 0, 2)))[None]
+            cache = {"k": self._dus(cache["k"], kT, (last_ring, 0, 0, 0), g),
+                     "v": self._dus(cache["v"], vT, (last_ring, 0, 0, 0), g)}
+            if n_blocks >= 2:
+                other = (b0 + n_blocks - 2) % 2
+                kT2 = padA(jnp.transpose(kb[:, -2], (1, 0, 2)))[None]
+                vT2 = padA(jnp.transpose(vb[:, -2], (1, 0, 2)))[None]
+                cache = {"k": self._dus(cache["k"], kT2, (other, 0, 0, 0), g),
+                         "v": self._dus(cache["v"], vT2, (other, 0, 0, 0), g)}
+        else:
+            raise NotImplementedError(f"attn_func {f} kernel-cache prefill")
 
         return dense(params["c_proj"], a), cache

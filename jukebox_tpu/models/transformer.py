@@ -148,11 +148,11 @@ class ResAttnBlock:
         return h, cache
 
     def prefill_chunk(self, params, cache, x, t0, n_blocks, encoder_kv=None,
-                      g=None):
+                      g=None, kernel_cache=False):
         a, cache = self.attn.prefill_chunk(params["attn"], cache,
                                            layer_norm(params["ln_0"], x), t0,
                                            n_blocks, encoder_kv=encoder_kv,
-                                           g=g)
+                                           g=g, kernel_cache=kernel_cache)
         m = self.mlp.apply(params["mlp"], layer_norm(params["ln_1"], x + a))
         if self.res_scale == 1.0:
             h = x + a + m
@@ -462,15 +462,22 @@ class Transformer:
                    for p in dec_params)
 
     def cache_batch_axes(self, caches):
-        """Pytree of batch-axis indices matching a standard-layout cache tree
-        (init_cache / init_cache_from_segments): flat segments hold
-        [B, ...] ring buffers (axis 0), scan segments group-stacked
-        [G, B, ...] buffers (axis 1). Used by the prefill microbatcher to
-        slice/scatter caches along the sample axis."""
+        """Pytree of batch-axis indices matching a cache tree from
+        init_cache / init_cache_from_segments: flat segments hold [B, ...]
+        ring buffers (axis 0), scan segments group-stacked [G, B, ...]
+        buffers (axis 1), and packed segments' kernel-layout buffers all
+        end with [..., B, Ap] (axis ndim-2). Used by the prefill
+        microbatcher to slice/scatter caches along the sample axis."""
         out = []
         for seg, c_seg in zip(self.decode_plan, caches):
-            ax = 0 if seg[0] == "flat" else 1
-            out.append(jax.tree_util.tree_map(lambda _: ax, c_seg))
+            if seg[0] == "flat":
+                out.append(jax.tree_util.tree_map(lambda _: 0, c_seg))
+            elif (isinstance(c_seg, tuple) and c_seg
+                  and not isinstance(c_seg[0], dict)):
+                out.append(jax.tree_util.tree_map(
+                    lambda leaf: leaf.ndim - 2, c_seg))
+            else:
+                out.append(jax.tree_util.tree_map(lambda _: 1, c_seg))
         return out
 
     def _recon_group(self, flat_g, pat=(1, 2, 3)):
@@ -528,10 +535,38 @@ class Transformer:
         out = []
         for seg, p_seg in zip(self.decode_plan, dec_params):
             if isinstance(p_seg, dict) and "stack_packed" in p_seg:
-                # standard layout (prefill writes these); converted to the
-                # kernel layout once per window by pack_segment_caches
                 _, pat, starts = seg
                 n_groups = len(starts)
+                if dtype == jnp.bfloat16:
+                    # build DIRECTLY in the megakernel's slot-leading layout:
+                    # the prefill writes it in place (kernel_cache=True) and
+                    # the decode consumes it — no standard-layout copy, no
+                    # prefill->decode conversion transient (whose source +
+                    # target peak capped hop batch sizes)
+                    from jukebox_tpu.ops.pallas.decode_stack import (
+                        _round_up, pack_caches)
+                    bc = self.n_ctx // self.blocks
+                    A = int(self.m_attn * self.n_in)
+                    Ap = _round_up(A, 128)
+                    shp = {1: (n_groups, bc, bs, Ap),
+                           2: (n_groups, bc, self.blocks, bs, Ap),
+                           3: (n_groups, 2, bc, bs, Ap)}
+                    flat6 = []
+                    for j, f in enumerate(pat):
+                        if f == 6:
+                            attn = self.block_cfg_f(6).attn
+                            proj = p_seg["enc_proj"][str(j)]
+                            std = jax.vmap(lambda pj: attn.init_cache(
+                                {"c_enc_kv": pj}, bs, dtype,
+                                encoder_kv=encoder_kv,
+                                sample_ctx=sample_ctx))(proj)
+                            flat6 += list(pack_caches((std,), bc, pat=(6,)))
+                        else:
+                            flat6 += [jnp.zeros(shp[f], dtype),
+                                      jnp.zeros(shp[f], dtype)]
+                    out.append(tuple(flat6))
+                    continue
+                # fp32 path: standard layout (XLA recon decode, no kernel)
                 caches = []
                 for j, f in enumerate(pat):
                     attn = self.block_cfg_f(f).attn
@@ -631,23 +666,36 @@ class Transformer:
                         interpret=jax.devices()[0].platform == "cpu")
                     x, nc = mk(flat, c_seg, x, args[0])
                 else:
-                    # prefill (or pre-conversion decode tail): reconstruct
-                    # standard per-group params from the packed arrays
-                    def body(carry, inp, _pat=pat_t):
+                    # prefill (or fp32 decode tail): reconstruct standard
+                    # per-group params from the packed arrays. With
+                    # kernel-layout caches the prefill writes them directly
+                    # (kernel_cache=True; the flat (k,v,...) tuple is
+                    # viewed as per-position dicts for the scan carry)
+                    if kernel_caches:
+                        assert method == "prefill_chunk", method
+                        gc0 = tuple({"k": c_seg[2 * j], "v": c_seg[2 * j + 1]}
+                                    for j in range(len(pat_t)))
+                    else:
+                        gc0 = tuple(c_seg)
+
+                    def body(carry, inp, _pat=pat_t, _kc=kernel_caches):
                         h, gc = carry
                         flat_g, g = inp
                         trees = self._recon_group(flat_g, pat=_pat)
+                        kw = {"kernel_cache": True} if _kc else {}
                         ncs = []
                         for j, f in enumerate(_pat):
                             h, c = getattr(self.block_cfg_f(f), method)(
                                 trees[j], gc[j], h, *args, encoder_kv=None,
-                                g=g)
+                                g=g, **kw)
                             ncs.append(c)
                         return (h, tuple(ncs)), ()
 
                     (x, nc), _ = jax.lax.scan(
-                        body, (x, tuple(c_seg)),
+                        body, (x, gc0),
                         (flat, jnp.arange(len(seg[2]))))
+                    if kernel_caches:
+                        nc = tuple(c[key] for c in nc for key in ("k", "v"))
                 new_caches.append(nc)
                 continue
             if seg[0] == "flat":

@@ -52,6 +52,10 @@ def test_packed_prefill_matches_standard(quantize):
 
     c_std = tr.init_cache_from_segments(dec, B, jnp.bfloat16)
     c_pkd = tr.init_cache_from_segments(packed, B, jnp.bfloat16)
+    # packed + bf16 initialises kernel-layout caches and prefills them
+    # in place (kernel_cache path) — compare through unpack_caches
+    from jukebox_tpu.ops.pallas.decode_stack import unpack_caches
+    assert not isinstance(c_pkd[0][0], dict)
     y_std, c_std = tr.prefill_chunk(dec, c_std, x_chunk, jnp.int32(0), 2,
                                     fp16=True, fp16_out=True)
     y_pkd, c_pkd = tr.prefill_chunk(packed, c_pkd, x_chunk, jnp.int32(0), 2,
@@ -59,8 +63,10 @@ def test_packed_prefill_matches_standard(quantize):
     err = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)
                                 - y_pkd.astype(jnp.float32))))
     assert err < 0.02, err
+    c_pkd_std = [unpack_caches(cs, S // 4, pat=tuple(seg[1]))
+                 for seg, cs in zip(tr.decode_plan, c_pkd)]
     for a, b in zip(jax.tree_util.tree_leaves(c_std),
-                    jax.tree_util.tree_leaves(c_pkd)):
+                    jax.tree_util.tree_leaves(c_pkd_std)):
         e = float(jnp.max(jnp.abs(a.astype(jnp.float32)
                                   - b.astype(jnp.float32))))
         assert e < 0.02, e
