@@ -639,12 +639,14 @@ class FactoredAttention:
         f = self.attn_func
         assert g is not None, "kernel_cache prefill is group-scanned"
         Ap = cache["k"].shape[-1]
+        Bc = cache["k"].shape[-2]  # may carry Mosaic sublane batch padding
+        Bx = x.shape[0]
 
         if f == 6:
             q = dense(params["c_attn"], x)
             A = q.shape[-1]
-            kg = self._group_view(cache["k"], g)[..., :A]
-            vg = self._group_view(cache["v"], g)[..., :A]
+            kg = self._group_view(cache["k"], g)[..., :Bx, :A]
+            vg = self._group_view(cache["v"], g)[..., :Bx, :A]
             a = _slot_leading_attn(q, kg, vg, self.n_head, None)
             return dense(params["c_proj"], a), cache
 
@@ -652,10 +654,12 @@ class FactoredAttention:
         B, C, S = v.shape
         bc = self.block_ctx
 
-        def padA(t):  # [..., S] -> [..., Ap]
-            if Ap == S:
+        def padA(t):  # [..., B, S] -> [..., Bc, Ap] (lane + sublane pads)
+            widths = [(0, 0)] * t.ndim
+            widths[-1] = (0, Ap - S)
+            widths[-2] = (0, Bc - B)
+            if Ap == S and Bc == B:
                 return t
-            widths = [(0, 0)] * (t.ndim - 1) + [(0, Ap - S)]
             return jnp.pad(t, widths)
 
         if f == 1:
@@ -684,8 +688,8 @@ class FactoredAttention:
             # query (local block j, column c) attends cache[c, :b0+j+1]:
             # batch the bc columns through the head axis of
             # _slot_leading_attn? No — fold c into the batch dim instead.
-            kg = self._group_view(cache["k"], g)[..., :S]
-            vg = self._group_view(cache["v"], g)[..., :S]
+            kg = self._group_view(cache["k"], g)[..., :B, :S]
+            vg = self._group_view(cache["v"], g)[..., :B, :S]
             qc = jnp.transpose(q.reshape(B, n_blocks, bc, S), (0, 2, 1, 3))
             hd = S // self.n_head
             scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(hd)), q.dtype)
@@ -714,8 +718,8 @@ class FactoredAttention:
                            (1, bc, cache["k"].shape[3], Ap), g)[0]
             pv = self._dsl(cache["v"], (prev_ring, 0, 0, 0),
                            (1, bc, cache["v"].shape[3], Ap), g)[0]
-            prev_k = jnp.transpose(pk[..., :S], (1, 0, 2))
-            prev_v = jnp.transpose(pv[..., :S], (1, 0, 2))
+            prev_k = jnp.transpose(pk[:, :B, :S], (1, 0, 2))
+            prev_v = jnp.transpose(pv[:, :B, :S], (1, 0, 2))
             kb = k.reshape(B, n_blocks, bc, S)
             vb = v.reshape(B, n_blocks, bc, S)
             k_shift = jnp.concatenate([prev_k[:, None], kb[:, :-1]], axis=1)

@@ -548,9 +548,10 @@ class Transformer:
                     bc = self.n_ctx // self.blocks
                     A = int(self.m_attn * self.n_in)
                     Ap = _round_up(A, 128)
-                    shp = {1: (n_groups, bc, bs, Ap),
-                           2: (n_groups, bc, self.blocks, bs, Ap),
-                           3: (n_groups, 2, bc, bs, Ap)}
+                    bp = _round_up(bs, 8)  # Mosaic sublane alignment
+                    shp = {1: (n_groups, bc, bp, Ap),
+                           2: (n_groups, bc, self.blocks, bp, Ap),
+                           3: (n_groups, 2, bc, bp, Ap)}
                     flat6 = []
                     for j, f in enumerate(pat):
                         if f == 6:

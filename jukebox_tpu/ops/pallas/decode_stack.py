@@ -182,7 +182,8 @@ def _flatten_packed(packed):
 # Cache layout conversion (standard [G, B, slots, A] <-> kernel layout)
 # ---------------------------------------------------------------------------
 
-def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp):
+def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp,
+                sublane=8):
     """Standard group-stacked caches (tuple of len(pat) {"k","v"} trees from
     init_cache_from_segments, in pattern-position order) -> kernel
     slot-leading lane-padded 2*len(pat)-tuple (k_pat0, v_pat0, k_pat1, ...).
@@ -200,6 +201,22 @@ def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp):
         return np.concatenate(
             [x, np.zeros(x.shape[:-1] + (Ap - A,), x.dtype)], axis=-1)
 
+    B = c_seg[0]["k"].shape[1]
+    Bp = _round_up(B, sublane)
+
+    def padB(x):
+        # Mosaic slices along the sublane axis must be 8-aligned; pad the
+        # batch dim (second-to-last after conversion) so bs 3/4 decode
+        # compiles. Padded rows carry garbage and are sliced off on exit.
+        if Bp == B:
+            return x
+        cfg = [(0, 0, 0)] * x.ndim
+        cfg[-2] = (0, Bp - B, 0)
+        if xp is jnp:
+            return lax.pad(x, xp.asarray(0, x.dtype), cfg)
+        widths = [(w0, w1) for w0, w1, _ in cfg]
+        return np.pad(x, widths)
+
     def convert(f, c, after):
         # serialize conversions: each transpose materialises a full copy,
         # so letting XLA overlap all of them doubles the cache HBM (the f2
@@ -208,11 +225,11 @@ def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp):
         # before the next copy allocates: peak = all sources + ONE target.
         if xp is jnp and after is not None:
             c, _ = lax.optimization_barrier((c, after))
-        if f == 2:               # [G,B,bc,bl,A] -> [G,bc,bl,B,Ap]
-            c = padA(xp.transpose(c, (0, 2, 3, 1, 4)))
-        else:                    # [G,B,slots,A] -> [G,slots,B,Ap]
-            c = padA(xp.transpose(c, (0, 2, 1, 3)))
-            if f == 3:           # [G,2bc,B,Ap] -> [G,2,bc,B,Ap]
+        if f == 2:               # [G,B,bc,bl,A] -> [G,bc,bl,Bp,Ap]
+            c = padB(padA(xp.transpose(c, (0, 2, 3, 1, 4))))
+        else:                    # [G,B,slots,A] -> [G,slots,Bp,Ap]
+            c = padB(padA(xp.transpose(c, (0, 2, 1, 3))))
+            if f == 3:           # [G,2bc,Bp,Ap] -> [G,2,bc,Bp,Ap]
                 c = c.reshape(c.shape[0], 2, bc, *c.shape[2:])
         return c
 
@@ -229,12 +246,13 @@ def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp):
 
 
 def init_kernel_caches(G, bc, blocks, B, A, pat=(1, 2, 3), lane=128,
-                       dtype=jnp.bfloat16):
+                       dtype=jnp.bfloat16, sublane=8):
     """Fresh zero caches directly in the kernel's slot-leading layout
     (equivalent to pack_caches(init_cache_from_segments(...)) without
     materializing the standard layout)."""
     assert 6 not in pat, "f6 caches hold projected encoder K/V, not zeros"
     Ap = _round_up(A, lane)
+    B = _round_up(B, sublane)
     z = lambda *s: jnp.zeros(s, dtype)
     shapes = {1: (G, bc, B, Ap), 2: (G, bc, blocks, B, Ap),
               3: (G, 2, bc, B, Ap)}
@@ -244,19 +262,23 @@ def init_kernel_caches(G, bc, blocks, B, A, pat=(1, 2, 3), lane=128,
     return tuple(out)
 
 
-def unpack_caches(c6, A, pat=(1, 2, 3)):
-    """Kernel layout -> standard tuple of 3 {"k","v"} trees."""
+def unpack_caches(c6, A, pat=(1, 2, 3), B=None):
+    """Kernel layout -> standard tuple of len(pat) {"k","v"} trees. B slices
+    off the sublane batch padding (None keeps every row)."""
 
-    def t1(x):  # [G,bc,B,Ap] -> [G,B,bc,A]
-        return jnp.transpose(x[..., :A], (0, 2, 1, 3))
+    def unpadB(x):  # [..., Bp, A] -> [..., B, A]
+        return x if B is None else x[..., :B, :]
 
-    def t2(x):  # [G,bc,bl,B,Ap] -> [G,B,bc,bl,A]
-        return jnp.transpose(x[..., :A], (0, 3, 1, 2, 4))
+    def t1(x):  # [G,bc,Bp,Ap] -> [G,B,bc,A]
+        return jnp.transpose(unpadB(x[..., :A]), (0, 2, 1, 3))
 
-    def t3(x):  # [G,2,bc,B,Ap] -> [G,B,2bc,A]
-        g, two, bc_, b, ap = x.shape
-        return jnp.transpose(x[..., :A].reshape(g, two * bc_, b, A),
-                             (0, 2, 1, 3))
+    def t2(x):  # [G,bc,bl,Bp,Ap] -> [G,B,bc,bl,A]
+        return jnp.transpose(unpadB(x[..., :A]), (0, 3, 1, 2, 4))
+
+    def t3(x):  # [G,2,bc,Bp,Ap] -> [G,B,2bc,A]
+        x = unpadB(x[..., :A])
+        g, two, bc_, b, _ = x.shape
+        return jnp.transpose(x.reshape(g, two * bc_, b, A), (0, 2, 1, 3))
 
     conv = {1: t1, 2: t2, 3: t3, 6: t1}
     return tuple({"k": conv[f](c6[2 * j]), "v": conv[f](c6[2 * j + 1])}
@@ -637,11 +659,15 @@ def _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
 def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                        lane=128, n_slots=4, dtype=jnp.bfloat16,
                        quantized=False, pat=(1, 2, 3), n_head=1,
-                       interpret=False, head_mode="auto", enc_rows=0):
+                       interpret=False, head_mode="auto", enc_rows=0,
+                       sublane=8):
     """Returns fn(flat_packed, caches6, x, t) -> (x_new, caches6).
 
     flat_packed: list from _flatten_packed(pack_decode_params(p_seg, lane)).
-    caches6: kernel-layout caches from pack_caches(..., pat, lane).
+    caches6: kernel-layout caches from pack_caches(..., pat, lane) — their
+    batch dim padded to a sublane multiple (Mosaic slices along the
+    sublane axis must be 8-aligned; the reference's 5b bs=3 decodes with
+    5 garbage rows that never leave the kernel).
     x: [B, 1, S] activation (cast to bf16). t: int32 scalar token position.
     pat: the segment's attn_func pattern — any ordering of {1, 2, 3},
     optionally interleaved with 6 (encoder cross-attention, e.g. the 5b
@@ -664,7 +690,8 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     max_rows = max(blocks if f == 2 else enc_rows if f == 6 else bc
                    for f in pat)
 
-    kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, bc, blocks, G, B,
+    Bp = _round_up(B, sublane)
+    kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, bc, blocks, G, Bp,
                                res_scale, n_slots, quantized, tuple(pat),
                                n_head, sliced_heads, enc_rows)
 
@@ -680,19 +707,22 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     def fn(flat_packed, caches, x, t):
         t2 = jnp.asarray(t, jnp.int32).reshape(1, 1)
         x2 = x.reshape(B, S).astype(dtype)
+        if Bp != B:
+            x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
+        assert caches[0].shape[-2] == Bp, (caches[0].shape, B, Bp)
         outs = pl.pallas_call(
             kernel,
             grid=(),
             in_specs=[smem] + param_specs + cache_specs + [vmem],
             out_specs=[vmem] + cache_specs,
-            out_shape=[jax.ShapeDtypeStruct((B, S), dtype)] + [
+            out_shape=[jax.ShapeDtypeStruct((Bp, S), dtype)] + [
                 jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches],
             scratch_shapes=[
                 pltpu.VMEM((n_slots, Smax, max(Ap, PW)), canvas_dtype),
-                pltpu.VMEM((max_rows, B, Ap), dtype),   # K read buf
-                pltpu.VMEM((max_rows, B, Ap), dtype),   # V read buf
-                pltpu.VMEM((P * B, Ap), dtype),         # k write stage
-                pltpu.VMEM((P * B, Ap), dtype),         # v write stage
+                pltpu.VMEM((max_rows, Bp, Ap), dtype),  # K read buf
+                pltpu.VMEM((max_rows, Bp, Ap), dtype),  # V read buf
+                pltpu.VMEM((P * Bp, Ap), dtype),        # k write stage
+                pltpu.VMEM((P * Bp, Ap), dtype),        # v write stage
                 pltpu.SemaphoreType.DMA((n_slots,)),    # weight piece sems
                 pltpu.SemaphoreType.DMA((2,)),          # cache read sems
                 pltpu.SemaphoreType.DMA((P, 2)),        # write-back sems
@@ -704,7 +734,7 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 has_side_effects=True),
         )(t2, *flat_packed, *caches, x2)
-        x_new = outs[0].reshape(B, 1, S)
+        x_new = outs[0][:B].reshape(B, 1, S)
         return x_new, tuple(outs[1:1 + 2 * P])
 
     return fn

@@ -41,7 +41,13 @@ assert any(6 in p for p in pats), tr.decode_plan
 print(f"f6 probe: plan={[(s[0], s[1] if s[0] == 'scan' else '') for s in tr.decode_plan]}",
       flush=True)
 
-params = tr.init(jax.random.key(0))
+import contextlib
+try:
+    _host = jax.default_device(jax.local_devices(backend="cpu")[0])
+except RuntimeError:
+    _host = contextlib.nullcontext()
+with _host:  # eager init on the remote chip costs a round-trip per op
+    params = tr.init(jax.random.key(0))
 dec = tr.prepare_decode_params(params)
 packed = tr.pack_stack_segments(
     jax.tree_util.tree_map(np.asarray, dec), quantize=quant)

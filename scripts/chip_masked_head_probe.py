@@ -22,6 +22,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
 if os.environ.get("JAX_PLATFORMS") == "cpu":
     # sitecustomize pins the axon backend regardless of the env var
     jax.config.update("jax_platforms", "cpu")
+else:
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
 
 from jukebox_tpu.models.transformer import Transformer
 from jukebox_tpu.ops.pallas.decode_stack import (_flatten_packed,
@@ -47,7 +52,13 @@ print(f"masked-head probe: S={S} A={S//4} H={H} hd={S//4//H} G={G} B={B}",
       flush=True)
 tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=H, n_depth=depth, attn_order=2,
                  blocks=blocks, m_attn=0.25, m_mlp=1.0, mask=True)
-params = tr.init(jax.random.key(0))
+import contextlib
+try:
+    _host = jax.default_device(jax.local_devices(backend="cpu")[0])
+except RuntimeError:
+    _host = contextlib.nullcontext()
+with _host:  # eager init on the remote chip costs a round-trip per op
+    params = tr.init(jax.random.key(0))
 dec = tr.prepare_decode_params(params)
 caches = tr.init_cache_from_segments(dec, B, jnp.bfloat16)
 assert len(tr.decode_plan) == 1 and tr.decode_plan[0][0] == "scan"

@@ -55,7 +55,7 @@ def test_stack_decode_matches_xla_path(lane, res_scale):
         mag = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-6
         assert err < 0.03 * max(mag, 1.0), (t, err, mag)
 
-    c_std = unpack_caches(c6, A)
+    c_std = unpack_caches(c6, A, B=B)
     for cr, cm in zip(caches[0], c_std):
         for key in ("k", "v"):
             e = float(jnp.max(jnp.abs(cr[key].astype(jnp.float32)

@@ -63,7 +63,7 @@ def test_packed_prefill_matches_standard(quantize):
     err = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)
                                 - y_pkd.astype(jnp.float32))))
     assert err < 0.02, err
-    c_pkd_std = [unpack_caches(cs, S // 4, pat=tuple(seg[1]))
+    c_pkd_std = [unpack_caches(cs, S // 4, pat=tuple(seg[1]), B=B)
                  for seg, cs in zip(tr.decode_plan, c_pkd)]
     for a, b in zip(jax.tree_util.tree_leaves(c_std),
                     jax.tree_util.tree_leaves(c_pkd_std)):
