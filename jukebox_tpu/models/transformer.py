@@ -395,16 +395,9 @@ class Transformer:
             return False
         if self.afn != "quick_gelu":
             return False  # the megakernel hardcodes quick_gelu
-        on_tpu = jax.devices()[0].platform == "tpu"
-        if on_tpu:
-            # widths with no lane-aligned piece divisor (or whose MLP width
-            # the piece doesn't divide) would fail at Mosaic compile rather
-            # than fall back — probe them here
-            from jukebox_tpu.ops.pallas.decode_stack import _piece_width
-            S, Sm = self.n_in, int(self.m_mlp * self.n_in)
-            pw = _piece_width(S, 128)
-            if pw % 128 or Sm % pw:
-                return False
+        # any width qualifies: the packer lane-pads S/Sm (zero rows/cols +
+        # masked LN statistics), so non-lane-divisible widths like the 5b
+        # top's 4800 compile too
         if self.n_head == 1:
             return True
         # multi-head: lane-aligned head dims decode via slices, others
@@ -497,34 +490,39 @@ class Transformer:
             return {"w": w, "b": b} if s is None else \
                 {"w_q": w, "b": b, "s": s}
 
+        Sm = int(self.m_mlp * S)
         for j in range(len(pat)):
             d = dict(zip(keys, flat_g[j * per:(j + 1) * per]))
-            wq = d["w_qkv"]                            # [n_q, S, Ap]
+            wq = d["w_qkv"]                            # [n_q, Sp, Ap]
             n_q = wq.shape[0]                          # 1 for f6 (q only)
-            w_attn = jnp.moveaxis(wq[..., :A], 0, 1).reshape(S, n_q * A)
+            w_attn = jnp.moveaxis(wq[:, :S, :A], 0, 1).reshape(S, n_q * A)
             b_attn = d["b_qkv"][:, :A].reshape(n_q * A)
             wp = d["w_proj"]                           # [n_pp, Ap, PW]
-            w_proj = jnp.moveaxis(wp, 0, 1).reshape(wp.shape[1], S)[:A]
-            w1 = d["w_m1"]                             # [n_m1, S, PW]
-            Sm = w1.shape[0] * w1.shape[2]
-            w_m1 = jnp.moveaxis(w1, 0, 1).reshape(S, Sm)
-            w2 = d["w_m2"]                             # [n_m2, Sm, PW]
-            w_m2 = jnp.moveaxis(w2, 0, 1).reshape(Sm, S)
+            Sp = wp.shape[0] * wp.shape[2]             # lane-padded widths
+            Smp = d["w_m1"].shape[0] * d["w_m1"].shape[2]
+            w_proj = jnp.moveaxis(wp, 0, 1).reshape(wp.shape[1], Sp)[:A, :S]
+            w1 = d["w_m1"]                             # [n_m1, Sp, PW]
+            w_m1 = jnp.moveaxis(w1, 0, 1).reshape(w1.shape[1], Smp)[:S, :Sm]
+            w2 = d["w_m2"]                             # [n_m2, Smp, PW]
+            w_m2 = jnp.moveaxis(w2, 0, 1).reshape(w2.shape[1], Sp)[:Sm, :S]
             if quant:
                 s_attn = d["s_qkv"][:, :A].reshape(n_q * A)
-                s_proj = d["s_proj"].reshape(S)
-                s_m1 = d["s_m1"].reshape(Sm)
-                s_m2 = d["s_m2"].reshape(S)
+                s_proj = d["s_proj"].reshape(Sp)[:S]
+                s_m1 = d["s_m1"].reshape(Smp)[:Sm]
+                s_m2 = d["s_m2"].reshape(Sp)[:S]
             else:
                 s_attn = s_proj = s_m1 = s_m2 = None
             trees.append({
                 "attn": {"c_attn": dense_p(w_attn, b_attn, s_attn),
-                         "c_proj": dense_p(w_proj, d["b_proj"].reshape(S),
+                         "c_proj": dense_p(w_proj,
+                                           d["b_proj"].reshape(Sp)[:S],
                                            s_proj)},
-                "mlp": {"c_fc": dense_p(w_m1, d["b_m1"].reshape(Sm), s_m1),
-                        "c_proj": dense_p(w_m2, d["b_m2"].reshape(S), s_m2)},
-                "ln_0": {"g": d["ln0_g"], "b": d["ln0_b"]},
-                "ln_1": {"g": d["ln1_g"], "b": d["ln1_b"]},
+                "mlp": {"c_fc": dense_p(w_m1, d["b_m1"].reshape(Smp)[:Sm],
+                                        s_m1),
+                        "c_proj": dense_p(w_m2, d["b_m2"].reshape(Sp)[:S],
+                                          s_m2)},
+                "ln_0": {"g": d["ln0_g"][:S], "b": d["ln0_b"][:S]},
+                "ln_1": {"g": d["ln1_g"][:S], "b": d["ln1_b"][:S]},
             })
         return trees
 

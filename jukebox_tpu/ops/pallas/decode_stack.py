@@ -68,6 +68,19 @@ def _piece_width(S, lane, cap=512):
     raise ValueError(f"no piece width for S={S}")
 
 
+def _piece_width2(Sp, Smp, lane, cap=512):
+    """Largest common divisor of the (lane-padded) model and MLP widths
+    that is a lane multiple and <= cap — both are lane multiples, so a
+    lane-aligned piece always exists."""
+    for d in range(min(Sp, Smp, cap), 0, -1):
+        if Sp % d == 0 and Smp % d == 0 and d % lane == 0:
+            return d
+    for d in range(min(Sp, Smp, cap), 0, -1):
+        if Sp % d == 0 and Smp % d == 0:
+            return d
+    raise ValueError(f"no piece width for Sp={Sp}, Smp={Smp}")
+
+
 # ---------------------------------------------------------------------------
 # Host-side packing: stacked scan-segment params -> chunk-major arrays
 # ---------------------------------------------------------------------------
@@ -105,44 +118,52 @@ def pack_decode_params(p_seg, lane=128, np_=np, quantize=False,
         A = qcols // n_q
         Sm = w1.shape[-1]
         Ap = _round_up(A, lane)
-        PW = _piece_width(S, lane)
+        # widths with no lane-aligned divisor (the 5b top's S=4800) pad to
+        # the lane tile: padded rows/cols are zero weights + zero biases +
+        # zero LN gains, so the padded activation columns stay exactly 0
+        # through every layer (the kernel's LayerNorm masks its statistics)
+        Sp = _round_up(S, lane)
+        Smp = _round_up(Sm, lane)
+        PW = _piece_width2(Sp, Smp, lane)
         assert wp.shape == (G, A, S) and w2.shape == (G, Sm, S)
-        assert Sm % PW == 0
+
+        def pad_axis(w, axis, target):
+            cur = w.shape[axis]
+            if cur == target:
+                return w
+            shape = list(w.shape)
+            shape[axis] = target - cur
+            return np_.concatenate(
+                [w, np_.zeros(shape, w.dtype)], axis=axis)
 
         def cols(w, piece):  # [G, K, N] -> [G, N//piece, K, piece]
             gg, kk, nn = w.shape
             return np_.ascontiguousarray(
                 w.reshape(gg, kk, nn // piece, piece).transpose(0, 2, 1, 3))
 
-        wq3 = cols(wq, A)                       # [G, n_q, S, A]
-        if Ap != A:
-            wq3 = np_.concatenate(
-                [wq3, np_.zeros((G, n_q, S, Ap - A), wq3.dtype)], axis=-1)
-            bq3 = np_.concatenate(
-                [bq.reshape(G, n_q, A),
-                 np_.zeros((G, n_q, Ap - A), bq.dtype)], axis=-1)
-            wp_pad = np_.concatenate(
-                [wp, np_.zeros((G, Ap - A, S), wp.dtype)], axis=1)
-        else:
-            bq3 = bq.reshape(G, n_q, A)
-            wp_pad = wp
+        wq3 = cols(pad_axis(wq, 1, Sp), A)      # [G, n_q, Sp, A]
+        wq3 = pad_axis(wq3, 3, Ap)
+        bq3 = pad_axis(bq.reshape(G, n_q, A), 2, Ap)
+        wp_pad = pad_axis(pad_axis(wp, 1, Ap), 2, Sp)   # [G, Ap, Sp]
+        w1p = pad_axis(pad_axis(w1, 1, Sp), 2, Smp)     # [G, Sp, Smp]
+        w2p = pad_axis(pad_axis(w2, 1, Smp), 2, Sp)     # [G, Smp, Sp]
 
         bf16 = jnp.bfloat16
         d = dict(
-            w_qkv=wq3,                              # [G, 3, S, Ap] fp32
-            w_proj=cols(wp_pad, PW),                # [G, S//PW, Ap, PW]
-            w_m1=cols(w1, PW),                      # [G, Sm//PW, S, PW]
-            w_m2=cols(w2, PW),                      # [G, S//PW, Sm, PW]
+            w_qkv=wq3,                              # [G, n_q, Sp, Ap] fp32
+            w_proj=cols(wp_pad, PW),                # [G, Sp//PW, Ap, PW]
+            w_m1=cols(w1p, PW),                     # [G, Smp//PW, Sp, PW]
+            w_m2=cols(w2p, PW),                     # [G, Sp//PW, Smp, PW]
             # biases in the activation dtype (the XLA dense path casts b to
             # x.dtype too); LN params stay fp32 like ops.core.layer_norm
             b_qkv=bq3.astype(bf16),
-            b_proj=bp.reshape(G, S // PW, PW).astype(bf16),
-            b_m1=b1.reshape(G, Sm // PW, PW).astype(bf16),
-            b_m2=b2.reshape(G, S // PW, PW).astype(bf16),
-            ln0_g=np_.asarray(p["ln_0"]["g"], np_.float32),
-            ln0_b=np_.asarray(p["ln_0"]["b"], np_.float32),
-            ln1_g=np_.asarray(p["ln_1"]["g"], np_.float32),
-            ln1_b=np_.asarray(p["ln_1"]["b"], np_.float32),
+            b_proj=pad_axis(bp, 1, Sp).reshape(G, Sp // PW, PW).astype(bf16),
+            b_m1=pad_axis(b1, 1, Smp).reshape(G, Smp // PW, PW).astype(bf16),
+            b_m2=pad_axis(b2, 1, Sp).reshape(G, Sp // PW, PW).astype(bf16),
+            ln0_g=pad_axis(np_.asarray(p["ln_0"]["g"], np_.float32), 1, Sp),
+            ln0_b=pad_axis(np_.asarray(p["ln_0"]["b"], np_.float32), 1, Sp),
+            ln1_g=pad_axis(np_.asarray(p["ln_1"]["g"], np_.float32), 1, Sp),
+            ln1_b=pad_axis(np_.asarray(p["ln_1"]["b"], np_.float32), 1, Sp),
         )
         for key in ("w_qkv", "w_proj", "w_m1", "w_m2"):
             if quantize:
@@ -293,7 +314,7 @@ def _quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
+def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
             quantized, pat, H, sliced_heads, enc_rows, t_ref, *refs):
     """refs: len(pat)×12 (or ×16 with int8 scales) packed param refs
     (weights ANY, biases/LN/scales VMEM), 2*len(pat) cache refs (ANY), x_in;
@@ -302,9 +323,9 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
     f6 positions attend a read-only [G, enc_rows, B, Ap] encoder cache
     with a q-only projection (no write-back)."""
     P = len(pat)
-    n_pp = S // PW
-    n_m1 = Sm // PW
-    n_m2 = S // PW
+    n_pp = Sp // PW
+    n_m1 = Smp // PW
+    n_m2 = Sp // PW
     n_qkv = [1 if f == 6 else 3 for f in pat]
     pieces_j = [nq + n_pp + n_m1 + n_m2 for nq in n_qkv]
     off_j = [sum(pieces_j[:j]) for j in range(P)]
@@ -348,14 +369,14 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
         """(key, piece_idx, rows, cols) for layer-local piece index."""
         nq = n_qkv[j]
         if local < nq:
-            return "w_qkv", local, S, Ap
+            return "w_qkv", local, Sp, Ap
         local -= nq
         if local < n_pp:
             return "w_proj", local, Ap, PW
         local -= n_pp
         if local < n_m1:
-            return "w_m1", local, S, PW
-        return "w_m2", local - n_m1, Sm, PW
+            return "w_m1", local, Sp, PW
+        return "w_m2", local - n_m1, Smp, PW
 
     def piece_dma(j, local, g, slot):
         key, idx, rows, cols = piece_geom(j, local)
@@ -428,7 +449,9 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
         return kd, vd
 
     def group_body(g, _):
-        x = x_out[:]                                   # [B, S]
+        x = x_out[:]                                   # [B, Sp]
+        col_real = (lax.broadcasted_iota(jnp.int32, (1, Sp), 1) < S) \
+            if Sp != S else None
         lin = 0
 
         for j in range(P):
@@ -448,10 +471,17 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
             vd.start()
 
             xf = x.astype(jnp.float32)
-            mu = jnp.mean(xf, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-            u = ((xf - mu) * lax.rsqrt(var + 1e-5) * p["ln0_g"][g]
-                 + p["ln0_b"][g]).astype(x.dtype)      # [B, S]
+            if Sp == S:
+                mu = jnp.mean(xf, axis=-1, keepdims=True)
+                dx = xf - mu
+            else:
+                # padded columns are zero: sum/S is the true mean, but the
+                # variance must exclude the (0 - mu) pad terms
+                mu = jnp.sum(xf, axis=-1, keepdims=True) / S
+                dx = jnp.where(col_real, xf - mu, 0.0)
+            var = jnp.sum(jnp.square(dx), axis=-1, keepdims=True) / S
+            u = (dx * lax.rsqrt(var + 1e-5) * p["ln0_g"][g]
+                 + p["ln0_b"][g]).astype(x.dtype)      # [B, Sp]
 
             # ---- q (, k, v) pieces ------------------------------------------
             qkv = []
@@ -575,9 +605,14 @@ def _kernel(S, A, Ap, Sm, PW, bc, blocks, G, B, res_scale, N_SLOTS,
             # ---- MLP ---------------------------------------------------------
             r = x + a
             rf = r.astype(jnp.float32)
-            mu = jnp.mean(rf, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(rf - mu), axis=-1, keepdims=True)
-            um = ((rf - mu) * lax.rsqrt(var + 1e-5) * p["ln1_g"][g]
+            if Sp == S:
+                mu = jnp.mean(rf, axis=-1, keepdims=True)
+                dr = rf - mu
+            else:
+                mu = jnp.sum(rf, axis=-1, keepdims=True) / S
+                dr = jnp.where(col_real, rf - mu, 0.0)
+            var = jnp.sum(jnp.square(dr), axis=-1, keepdims=True) / S
+            um = (dr * lax.rsqrt(var + 1e-5) * p["ln1_g"][g]
                   + p["ln1_b"][g]).astype(x.dtype)
 
             h_cols = []
@@ -682,8 +717,10 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     assert 6 not in pat or enc_rows > 0, "f6 segments need enc_rows"
     P = len(pat)
     Ap = _round_up(A, lane)
-    PW = _piece_width(S, lane)
-    Smax = max(S, Sm, Ap)
+    Sp = _round_up(S, lane)
+    Smp = _round_up(Sm, lane)
+    PW = _piece_width2(Sp, Smp, lane)
+    Smax = max(Sp, Smp, Ap)
     hd = A // n_head
     sliced_heads = (hd % lane == 0 and A % lane == 0) \
         if head_mode == "auto" else head_mode == "sliced"
@@ -691,9 +728,9 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                    for f in pat)
 
     Bp = _round_up(B, sublane)
-    kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, bc, blocks, G, Bp,
-                               res_scale, n_slots, quantized, tuple(pat),
-                               n_head, sliced_heads, enc_rows)
+    kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, Sp, Smp, bc,
+                               blocks, G, Bp, res_scale, n_slots, quantized,
+                               tuple(pat), n_head, sliced_heads, enc_rows)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -707,15 +744,15 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     def fn(flat_packed, caches, x, t):
         t2 = jnp.asarray(t, jnp.int32).reshape(1, 1)
         x2 = x.reshape(B, S).astype(dtype)
-        if Bp != B:
-            x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
+        if Bp != B or Sp != S:
+            x2 = jnp.pad(x2, ((0, Bp - B), (0, Sp - S)))
         assert caches[0].shape[-2] == Bp, (caches[0].shape, B, Bp)
         outs = pl.pallas_call(
             kernel,
             grid=(),
             in_specs=[smem] + param_specs + cache_specs + [vmem],
             out_specs=[vmem] + cache_specs,
-            out_shape=[jax.ShapeDtypeStruct((Bp, S), dtype)] + [
+            out_shape=[jax.ShapeDtypeStruct((Bp, Sp), dtype)] + [
                 jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches],
             scratch_shapes=[
                 pltpu.VMEM((n_slots, Smax, max(Ap, PW)), canvas_dtype),
@@ -734,7 +771,7 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
             compiler_params=None if interpret else pltpu.CompilerParams(
                 has_side_effects=True),
         )(t2, *flat_packed, *caches, x2)
-        x_new = outs[0][:B].reshape(B, 1, S)
+        x_new = outs[0][:B, :S].reshape(B, 1, S)
         return x_new, tuple(outs[1:1 + 2 * P])
 
     return fn

@@ -102,3 +102,38 @@ def test_stack_decode_multi_head_modes(head_mode, n_head):
                                     - y_mk.astype(jnp.float32))))
         mag = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-6
         assert err < 0.03 * max(mag, 1.0), (t, err, mag)
+
+
+def test_stack_decode_non_lane_divisible_width():
+    """Widths with no lane-aligned piece divisor (the 5b top's S=4800 has
+    none for lane=128) pad to the lane tile: zero weight rows/cols + zero
+    LN gains keep the padded activation columns exactly 0, and the
+    LayerNorm statistics are masked to the real width. lane=32 vs S=48
+    reproduces the arithmetic at test scale."""
+    S, A, n_ctx, blocks, depth, B, lane = 48, 12, 16, 4, 6, 2, 32
+    bc = n_ctx // blocks
+    G = depth // 3
+    tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=1, n_depth=depth,
+                     attn_order=2, blocks=blocks, m_attn=0.25, m_mlp=1.0,
+                     mask=True)
+    params = tr.init(jax.random.key(5))
+    dec_params = tr.prepare_decode_params(params)
+    caches = tr.init_cache_from_segments(dec_params, B, jnp.bfloat16)
+
+    packed = _flatten_packed(pack_decode_params(dec_params[0], lane=lane))
+    assert packed[0].shape[-2] == 64  # Sp = round_up(48, 32)... rows padded
+    mk = jax.jit(build_stack_decode(S, A, S, bc, blocks, G, B, lane=lane,
+                                    interpret=True))
+    ref = jax.jit(lambda dp, c, x, t: tr.decode_step(dp, c, x, t, fp16=True,
+                                                     fp16_out=True))
+
+    c6 = pack_caches(caches[0], bc, lane=lane)
+    rng = np.random.RandomState(6)
+    for t in range(n_ctx):
+        x = jnp.asarray(0.5 * rng.randn(B, 1, S), jnp.bfloat16)
+        y_ref, caches = ref(dec_params, caches, x, jnp.asarray(t))
+        y_mk, c6 = mk(packed, c6, x, jnp.asarray(t))
+        err = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)
+                                    - y_mk.astype(jnp.float32))))
+        mag = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)))) + 1e-6
+        assert err < 0.03 * max(mag, 1.0), (t, err, mag)
