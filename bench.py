@@ -92,9 +92,12 @@ def timed_window(prior, n, rng, z, z_conds, y, chunk_size, sample_tokens=None):
     jax.block_until_ready(state)
     t_init1 = time.time() - t0
     # second init call: compile already cached -> prefill exec time. Free the
-    # first call's state FIRST: two live cache sets (5 GiB each at 1b/bs=16)
-    # would not fit HBM alongside the staged weights.
+    # first call's state FIRST: two live cache sets (5-10 GiB each at 1b
+    # bs 16-32) would not fit HBM alongside the staged weights. The axon
+    # worker frees asynchronously — settle before re-allocating, or the
+    # second init races the free and OOMs at bs >= 24.
     del state
+    time.sleep(float(os.environ.get("BENCH_FREE_SETTLE_S", "10")))
     t0 = time.time()
     state = prior._sample_init(call_params, n, z=z, z_conds=z_conds, y=y,
                                fp16=True, chunk_size=chunk_size,
