@@ -312,6 +312,10 @@ def main():
     def phase_up_primed():
         prior = _build_upsampler()
         import jax.numpy as jnp
+        if bs_up >= 20:
+            # bound the chunked-prefill transients (h_in + per-chunk
+            # activations) so big hop batches fit a 16 GB chip
+            os.environ.setdefault("JUKEBOX_PREFILL_MB", "4")
         n_cond = prior.n_ctx // prior.cond_downsample
         hop = prior.n_ctx // 2
         z = jnp.asarray(np.random.RandomState(0).randint(
