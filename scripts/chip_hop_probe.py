@@ -77,13 +77,27 @@ print(f"sample_init (hop prefill, mb={MB}) ok in {time.time()-t0:.0f}s",
 stats("after sample_init")
 
 caches, x_tok, x_cond, y_cond, encoder_kv = state
-t0 = time.time()
-seg, caches, x_tok = prior._sample_segment(
-    prior._staged_light, caches, x_tok, np.int32(hop), 128,
-    jax.random.key(0), x_cond=x_cond, y_cond=y_cond, encoder_kv=encoder_kv,
-    fp16=True, temp=0.99, dec_params=prior._staged_dec)
-tok = np.asarray(seg)
-print(f"decode segment ok in {time.time()-t0:.0f}s; tok[0,:3]={tok[0,:3]}",
+seg_tok = 256
+times = []
+t = hop
+for i in range(4):
+    t0 = time.time()
+    seg, caches, x_tok = prior._sample_segment(
+        prior._staged_light, caches, x_tok, np.int32(t), seg_tok,
+        jax.random.key(0), x_cond=x_cond, y_cond=y_cond,
+        encoder_kv=encoder_kv, fp16=True, temp=0.99,
+        dec_params=prior._staged_dec)
+    tok = np.asarray(seg)  # host readback: timings can't be faked
+    dt = time.time() - t0
+    times.append(dt)
+    t += seg_tok
+    print(f"segment {i}: {dt:.1f}s ({seg_tok / dt:.0f} steps/s, "
+          f"{BS * seg_tok / dt:.0f} tok/s batch) tok[0,:3]={tok[0,:3]}",
+          flush=True)
+steady = times[1:]
+rate = BS * seg_tok / (sum(steady) / len(steady))
+print(f"steady hop decode: {rate:.0f} tok/s at bs={BS} "
+      f"(first segment {times[0]:.1f}s includes megakernel compile)",
       flush=True)
-stats("after decode segment")
+stats("after decode segments")
 print("OK", flush=True)
