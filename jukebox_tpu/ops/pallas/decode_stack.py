@@ -768,8 +768,10 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                 # inputs: t(0), P*keys params, 2P caches, x -> cache outs
                 1 + len(param_specs) + i: 1 + i for i in range(2 * P)},
             interpret=interpret,
+            # 5b-width canvases (4 slots x 4864 x 1280 int8 ~ 25 MB) exceed
+            # the default 16 MB scoped-vmem budget; the chip has 128 MB
             compiler_params=None if interpret else pltpu.CompilerParams(
-                has_side_effects=True),
+                has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024),
         )(t2, *flat_packed, *caches, x2)
         x_new = outs[0][:B, :S].reshape(B, 1, S)
         return x_new, tuple(outs[1:1 + 2 * P])
