@@ -12,7 +12,7 @@ import numpy as np
 from jukebox_tpu.data.labels import Labeller
 from jukebox_tpu.utils.io import get_duration_sec, load_audio
 
-AUDIO_EXTS = (".mp3", ".opus", ".m4a", ".aac", ".wav")
+AUDIO_EXTS = (".mp3", ".opus", ".m4a", ".aac", ".wav", ".ogg", ".flac")
 
 
 def find_files(root, exts=AUDIO_EXTS):

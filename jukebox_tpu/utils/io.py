@@ -1,9 +1,11 @@
 """Audio file windowed decode + duration probing (equivalent of
 jukebox/utils/io.py). wav files are decoded with the stdlib `wave` module
-(fast random access via frame seek); other codecs (mp3/opus/m4a/aac) go
-through PyAV when the optional `av` package is present, else through the
-`ffmpeg` CLI (seek + decode-to-f32le over a pipe). Durations are cached in
-`.dur` sidecar files like the reference (io.py:6-18)."""
+(fast random access via frame seek); other codecs (mp3/ogg/opus/m4a/aac/
+flac) go through the native C++ loader (csrc/avio.cpp — drives the system
+libavformat/libavcodec/libswresample directly, GIL-free), falling back to
+PyAV when the optional `av` package is present, else to the `ffmpeg` CLI
+(seek + decode-to-f32le over a pipe). Durations are cached in `.dur`
+sidecar files like the reference (io.py:6-18)."""
 
 import math
 import os
@@ -12,6 +14,11 @@ import subprocess
 import wave
 
 import numpy as np
+
+
+def _have_native_av():
+    from jukebox_tpu.utils import avio
+    return avio.available()
 
 
 def _have_av():
@@ -48,6 +55,11 @@ def _probe_duration(file):
             return info["n_frames"] / info["sample_rate"]
         with wave.open(file, "rb") as w:
             return w.getnframes() / w.getframerate()
+    if _have_native_av():
+        from jukebox_tpu.utils import avio
+        info = avio.probe(file)
+        if info is not None and info["duration_sec"] > 0:
+            return info["duration_sec"]
     if _have_av():
         import av
         container = av.open(file)
@@ -77,6 +89,12 @@ def load_audio(file, sr, offset, duration, resample=True, approx=False,
 
     if file.lower().endswith(".wav"):
         sig, file_sr = _load_wav_window(file, offset, duration, sr)
+    elif _have_native_av():
+        from jukebox_tpu.utils import avio
+        sig = avio.read_window(file, offset, duration, sr)
+        if sig is None:
+            raise RuntimeError(f"native decode failed for {file}")
+        file_sr = sr  # swresample already resampled in-kernel
     elif _have_av():
         sig, file_sr = _load_av_window(file, offset, duration, sr, approx,
                                        check_duration)

@@ -76,6 +76,11 @@ def test_ffmpeg_cli_fallback(tmp_path, monkeypatch):
     import os
     import stat
 
+    # the native libav loader would otherwise intercept (and rightly
+    # reject) the fake mp3 — this test covers the CLI fallback tier
+    import jukebox_tpu.utils.io as io_mod
+    monkeypatch.setattr(io_mod, "_have_native_av", lambda: False)
+
     sr = 8000
     t = np.arange(sr) / sr
     sig = np.stack([np.sin(2 * np.pi * 100 * t),
