@@ -509,7 +509,8 @@ class FactoredAttention:
         prefill writes/reads them DIRECTLY — no standard-layout copy ever
         exists, so the per-window prefill->decode conversion (whose
         source+target transient capped hop batch sizes) disappears.
-        Supported for funcs 1/2/3/6 (the packed-segment funcs); g required.
+        Supported for funcs 0/1/2/3/6/7 (the packed-segment funcs);
+        g required.
         """
         f = self.attn_func
         if kernel_cache:
@@ -741,6 +742,36 @@ class FactoredAttention:
                 vT2 = padA(jnp.transpose(vb[:, -2], (1, 0, 2)))[None]
                 cache = {"k": self._dus(cache["k"], kT2, (other, 0, 0, 0), g),
                          "v": self._dus(cache["v"], vT2, (other, 0, 0, 0), g)}
+        elif f == 7:
+            # prime cache [G, _prime_len + 1, Bc, Ap]: rows < _prime_len are
+            # the lyric prefix, the last row is the gen-phase garbage slot
+            pl_ = self._prime_len
+            pos = t0 + jnp.arange(C)
+            idx = jnp.where(pos < pl_, pos, pl_)   # overflow -> garbage row
+            kT = padA(jnp.transpose(k, (1, 0, 2)))  # [C, Bc, Ap]
+            vT = padA(jnp.transpose(v, (1, 0, 2)))
+            kg = self._group_view(cache["k"], g).at[idx].set(kT)
+            vg = self._group_view(cache["v"], g).at[idx].set(vT)
+            cache = {"k": self._dus(cache["k"], kg, (0, 0, 0), g),
+                     "v": self._dus(cache["v"], vg, (0, 0, 0), g)}
+            mask = (jnp.arange(pl_)[None, :]
+                    <= jnp.minimum(pos, pl_ - 1)[:, None]).astype(jnp.float32)
+            a = _slot_leading_attn(q, kg[:pl_, :B, :S], vg[:pl_, :B, :S],
+                                   self.n_head, mask)
+        elif f == 0:
+            # full-context ring [G, rows(chunk-padded), Bc, Ap]
+            kT = padA(jnp.transpose(k, (1, 0, 2)))  # [C, Bc, Ap]
+            vT = padA(jnp.transpose(v, (1, 0, 2)))
+            cache = {"k": self._dus(cache["k"], kT, (t0, 0, 0), g),
+                     "v": self._dus(cache["v"], vT, (t0, 0, 0), g)}
+            kg = self._group_view(cache["k"], g)
+            vg = self._group_view(cache["v"], g)
+            rows = kg.shape[0]
+            pos = t0 + jnp.arange(C)
+            mask = (jnp.arange(rows)[None, :]
+                    <= pos[:, None]).astype(jnp.float32)
+            a = _slot_leading_attn(q, kg[:, :B, :S], vg[:, :B, :S],
+                                   self.n_head, mask)
         else:
             raise NotImplementedError(f"attn_func {f} kernel-cache prefill")
 

@@ -387,11 +387,15 @@ class Transformer:
     # slot-leading layout once per window at the prefill->decode boundary.
 
     def _stack_eligible(self, seg):
-        # [1,2,3] cycles, optionally interleaved with f6 cross-attention
-        # (the 5b order-10 (1,2,3,1,2,3,1,2,3,6) segments)
-        if not (seg[0] == "scan" and {1, 2, 3} <= set(seg[1])
-                and set(seg[1]) <= {1, 2, 3, 6}
+        # {1,2,3}-cycle scans, optionally interleaved with the specials the
+        # kernel supports: f6 cross-attention (the 5b order-10
+        # (1,2,3,1,2,3,1,2,3,6) segments), f7 prime and f0 dense (order-9
+        # (1,2,3,0) cycles; order-11/12 specials usually land flat and pack
+        # via _flat_stack_func instead)
+        if not (seg[0] == "scan" and set(seg[1]) <= {0, 1, 2, 3, 6, 7}
                 and self.blocks is not None):
+            return False
+        if 7 in seg[1] and not self.prime_len:
             return False
         if self.afn != "quick_gelu":
             return False  # the megakernel hardcodes quick_gelu
@@ -406,6 +410,24 @@ class Transformer:
         A = int(self.m_attn * self.n_in)
         return A % self.n_head == 0
 
+    def _flat_stack_func(self, d):
+        """attn_func of flat layer d if it can run as a single-layer
+        (P=1, G=1) megakernel segment, else None. Covers the order-11/12
+        schedules' interleaved f7 prime / f0 dense specials and stray
+        f1/f2/f3 singles the DP plan left flat — with these packed, the
+        whole 72-layer 1b top decodes in-kernel."""
+        if self.blocks is None or self.afn != "quick_gelu":
+            return None
+        f = self.attn_func(d)
+        if f not in (0, 1, 2, 3, 7):
+            return None  # flat f6 would need enc_proj plumbing; stays XLA
+        if f == 7 and not self.prime_len:
+            return None
+        A = int(self.m_attn * self.n_in)
+        if self.n_head > 1 and A % self.n_head:
+            return None
+        return f
+
     def pack_stack_segments(self, dec_params, np_=None, quantize=False):
         """Host-side: replace eligible scan segments' stacked trees with the
         megakernel's packed layout ({"stack_packed": [...]}). quantize=True
@@ -414,11 +436,12 @@ class Transformer:
         import numpy as np
         from jukebox_tpu.ops.pallas.decode_stack import (_flatten_packed,
                                                          pack_decode_params)
+        xp = np_ or np
         out = []
         for seg, p_seg in zip(self.decode_plan, dec_params):
             if self._stack_eligible(seg):
                 pat = tuple(seg[1])
-                packed = pack_decode_params(p_seg, np_=np_ or np,
+                packed = pack_decode_params(p_seg, np_=xp,
                                             quantize=quantize, pat=pat)
                 entry = {"stack_packed": _flatten_packed(packed)}
                 # f6 positions keep their encoder-projection params: the
@@ -429,9 +452,25 @@ class Transformer:
                 if enc_proj:
                     entry["enc_proj"] = enc_proj
                 out.append(entry)
+            elif (seg[0] == "flat"
+                  and self._flat_stack_func(seg[1]) is not None):
+                f = self._flat_stack_func(seg[1])
+                p1 = jax.tree_util.tree_map(lambda x: xp.asarray(x)[None],
+                                            p_seg)
+                packed = pack_decode_params((p1,), np_=xp,
+                                            quantize=quantize, pat=(f,))
+                out.append({"stack_packed": _flatten_packed(packed),
+                            "flat_func": f})
             else:
                 out.append(p_seg)
         return out
+
+    def _packed_pat(self, seg, p_seg):
+        """The kernel pattern of a packed segment: the scan pattern, or the
+        single-layer (f,) pattern of a packed flat special."""
+        if seg[0] == "flat":
+            return (p_seg["flat_func"],)
+        return tuple(seg[1])
 
     def pack_segment_caches(self, dec_params, caches):
         """Standard-layout caches -> kernel layout for packed segments (the
@@ -439,15 +478,23 @@ class Transformer:
         from jukebox_tpu.ops.pallas.decode_stack import pack_caches
         out = []
         for seg, p_seg, c_seg in zip(self.decode_plan, dec_params, caches):
+            if not (isinstance(p_seg, dict) and "stack_packed" in p_seg):
+                out.append(c_seg)
+                continue
+            pat = self._packed_pat(seg, p_seg)
             already = (isinstance(c_seg, tuple) and c_seg
                        and not isinstance(c_seg[0], dict)
-                       and len(c_seg) == 2 * len(seg[1]))
-            if (isinstance(p_seg, dict) and "stack_packed" in p_seg
-                    and not already):
-                out.append(pack_caches(c_seg, self.n_ctx // self.blocks,
-                                       pat=tuple(seg[1])))
-            else:
+                       and len(c_seg) == 2 * len(pat))
+            if already:
                 out.append(c_seg)
+            elif seg[0] == "flat":
+                # standard flat cache {"k","v"} [B, ...] -> one-group stack
+                c1 = jax.tree_util.tree_map(lambda x: x[None], c_seg)
+                out.append(pack_caches((c1,), self.n_ctx // self.blocks,
+                                       pat=pat))
+            else:
+                out.append(pack_caches(c_seg, self.n_ctx // self.blocks,
+                                       pat=pat))
         return out
 
     def has_packed_segments(self, dec_params):
@@ -463,12 +510,14 @@ class Transformer:
         microbatcher to slice/scatter caches along the sample axis."""
         out = []
         for seg, c_seg in zip(self.decode_plan, caches):
-            if seg[0] == "flat":
-                out.append(jax.tree_util.tree_map(lambda _: 0, c_seg))
-            elif (isinstance(c_seg, tuple) and c_seg
-                  and not isinstance(c_seg[0], dict)):
+            if (isinstance(c_seg, tuple) and c_seg
+                    and not isinstance(c_seg[0], dict)):
+                # kernel-layout buffers (scan OR packed-flat segments) all
+                # end with [..., B, Ap]
                 out.append(jax.tree_util.tree_map(
                     lambda leaf: leaf.ndim - 2, c_seg))
+            elif seg[0] == "flat":
+                out.append(jax.tree_util.tree_map(lambda _: 0, c_seg))
             else:
                 out.append(jax.tree_util.tree_map(lambda _: 1, c_seg))
         return out
@@ -533,8 +582,8 @@ class Transformer:
         out = []
         for seg, p_seg in zip(self.decode_plan, dec_params):
             if isinstance(p_seg, dict) and "stack_packed" in p_seg:
-                _, pat, starts = seg
-                n_groups = len(starts)
+                pat = self._packed_pat(seg, p_seg)
+                n_groups = 1 if seg[0] == "flat" else len(seg[2])
                 if dtype == jnp.bfloat16:
                     # build DIRECTLY in the megakernel's slot-leading layout:
                     # the prefill writes it in place (kernel_cache=True) and
@@ -542,7 +591,7 @@ class Transformer:
                     # prefill->decode conversion transient (whose source +
                     # target peak capped hop batch sizes)
                     from jukebox_tpu.ops.pallas.decode_stack import (
-                        _round_up, pack_caches)
+                        _f0_geom, _round_up, pack_caches)
                     bc = self.n_ctx // self.blocks
                     A = int(self.m_attn * self.n_in)
                     Ap = _round_up(A, 128)
@@ -550,6 +599,12 @@ class Transformer:
                     shp = {1: (n_groups, bc, bp, Ap),
                            2: (n_groups, bc, self.blocks, bp, Ap),
                            3: (n_groups, 2, bc, bp, Ap)}
+                    if 7 in pat:
+                        pl7 = self.block_cfg_f(7).attn._prime_len
+                        shp[7] = (n_groups, pl7 + 1, bp, Ap)
+                    if 0 in pat:
+                        n0 = self.block_cfg_f(0).attn.cache_len(sample_ctx)
+                        shp[0] = (n_groups, _f0_geom(n0)[0], bp, Ap)
                     flat6 = []
                     for j, f in enumerate(pat):
                         if f == 6:
@@ -637,7 +692,8 @@ class Transformer:
         for seg, p_seg, c_seg in zip(self.decode_plan, dec_params, caches):
             if isinstance(p_seg, dict) and "stack_packed" in p_seg:
                 flat = p_seg["stack_packed"]
-                pat_t = tuple(seg[1])
+                pat_t = self._packed_pat(seg, p_seg)
+                n_groups = 1 if seg[0] == "flat" else len(seg[2])
                 kernel_caches = (isinstance(c_seg, tuple) and c_seg
                                  and not isinstance(c_seg[0], dict)
                                  and len(c_seg) == 2 * len(pat_t))
@@ -651,10 +707,16 @@ class Transformer:
                     A = int(self.m_attn * S)
                     G = flat[0].shape[0]
                     cfg1 = self.block_cfg_f(1)
-                    enc_rows = 0
+                    enc_rows = prime_rows = f0_rows = 0
                     if 6 in pat_t:
                         # read-only enc cache [G, enc_rows, B, Ap]
                         enc_rows = c_seg[2 * pat_t.index(6)].shape[1]
+                    if 7 in pat_t:
+                        # [G, prime_rows + 1, B, Ap] (garbage row included)
+                        prime_rows = c_seg[2 * pat_t.index(7)].shape[1] - 1
+                    if 0 in pat_t:
+                        # [G, f0_rows, B, Ap] (already chunk-padded)
+                        f0_rows = c_seg[2 * pat_t.index(0)].shape[1]
                     mk = build_stack_decode(
                         S, A, int(self.m_mlp * S), self.n_ctx // self.blocks,
                         self.blocks, G, x.shape[0],
@@ -662,6 +724,7 @@ class Transformer:
                         quantized=len(flat) == len(pat_t)
                         * len(_pack_keys(True)),
                         pat=pat_t, n_head=self.n_head, enc_rows=enc_rows,
+                        prime_rows=prime_rows, f0_rows=f0_rows,
                         interpret=jax.devices()[0].platform == "cpu")
                     x, nc = mk(flat, c_seg, x, args[0])
                 else:
@@ -692,7 +755,7 @@ class Transformer:
 
                     (x, nc), _ = jax.lax.scan(
                         body, (x, gc0),
-                        (flat, jnp.arange(len(seg[2]))))
+                        (flat, jnp.arange(n_groups)))
                     if kernel_caches:
                         nc = tuple(c[key] for c in nc for key in ("k", "v"))
                 new_caches.append(nc)

@@ -32,10 +32,22 @@ reference's fused q*s @ k*s scale (factored_attention.py:82-88) with
 softmax in fp32, quick_gelu MLP, residual x + a + m (res_scale folded in).
 
 Patterns may be any ordering of {1, 2, 3} (order-12 plans produce rotations
-like (2, 3, 1)); multi-head runs as a static loop over lane-aligned
-head_dim slices (the 1b top's hd=256 qualifies; the 5b top's hd=150 stays
-on the XLA path). The f7/f0 special layers of orders 10-12 are applied flat
-by the XLA path between the kernel's scan segments.
+like (2, 3, 1)), interleaved with the special funcs:
+  func 6 (cross-attn):  read-only [G, enc_rows, B, Ap] encoder cache,
+                        q-only projection, no write-back
+  func 7 (prime):       [G, prime_rows+1, B, Ap] cache of the lyric-prefix
+                        K/V; writes land at min(t, prime_rows) (the last row
+                        is a garbage slot for the gen phase, matching the
+                        reference's out-of-range drop, models/attention.py
+                        _write_token), reads mask slots <= min(t, pr-1)
+                        with the current token patched in while t < pr
+  func 0 (dense):       full-context ring [G, f0_rows, B, Ap]; the read is
+                        CHUNKED (f0_chunk rows per DMA) with an online-
+                        softmax accumulation — the whole-cache read does not
+                        fit VMEM at 8k ctx — over t//chunk+1 live chunks
+so the order-12 top stacks (specials included) decode in-kernel. Multi-head
+runs as a static loop over lane-aligned head_dim slices (the 1b top's
+hd=256) or full-width masked-head ops (the 5b top's hd=150).
 """
 
 import functools
@@ -66,6 +78,20 @@ def _piece_width(S, lane, cap=512):
         if S % d == 0:
             return d
     raise ValueError(f"no piece width for S={S}")
+
+
+F0_CHUNK_CAP = 512  # rows per func-0 cache-read DMA (tests shrink it)
+
+
+def _f0_geom(rows, cap=None):
+    """(padded_rows, chunk) for the func-0 ring: caches <= cap rows read in
+    one DMA; larger ones pad to a cap multiple and stream cap rows per
+    chunk. Both the cache builder and the kernel derive the chunk from the
+    allocated row count, so they always agree."""
+    cap = F0_CHUNK_CAP if cap is None else cap
+    if rows <= cap:
+        return rows, rows
+    return _round_up(rows, cap), cap
 
 
 def _piece_width2(Sp, Smp, lane, cap=512):
@@ -238,6 +264,16 @@ def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp,
         widths = [(w0, w1) for w0, w1, _ in cfg]
         return np.pad(x, widths)
 
+    def pad_rows(x, target):
+        # leading slot-axis pad (f7 garbage row / f0 chunk-multiple pad)
+        if x.shape[1] == target:
+            return x
+        cfg = [(0, 0, 0)] * x.ndim
+        cfg[1] = (0, target - x.shape[1], 0)
+        if xp is jnp:
+            return lax.pad(x, xp.asarray(0, x.dtype), cfg)
+        return np.pad(x, [(w0, w1) for w0, w1, _ in cfg])
+
     def convert(f, c, after):
         # serialize conversions: each transpose materialises a full copy,
         # so letting XLA overlap all of them doubles the cache HBM (the f2
@@ -252,6 +288,10 @@ def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp,
             c = padB(padA(xp.transpose(c, (0, 2, 1, 3))))
             if f == 3:           # [G,2bc,Bp,Ap] -> [G,2,bc,Bp,Ap]
                 c = c.reshape(c.shape[0], 2, bc, *c.shape[2:])
+            elif f == 7:         # + one garbage row for gen-phase writes
+                c = pad_rows(c, c.shape[1] + 1)
+            elif f == 0:         # pad slots to a chunk multiple
+                c = pad_rows(c, _f0_geom(c.shape[1])[0])
         return c
 
     # biggest arrays first (f2 >> f1/f3/f6), so the largest source is freed
@@ -267,25 +307,32 @@ def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp,
 
 
 def init_kernel_caches(G, bc, blocks, B, A, pat=(1, 2, 3), lane=128,
-                       dtype=jnp.bfloat16, sublane=8):
+                       dtype=jnp.bfloat16, sublane=8, prime_rows=0,
+                       f0_rows=0):
     """Fresh zero caches directly in the kernel's slot-leading layout
     (equivalent to pack_caches(init_cache_from_segments(...)) without
-    materializing the standard layout)."""
+    materializing the standard layout). prime_rows/f0_rows give the f7
+    prime cache length (_prime_len) and the f0 ring's true slot count."""
     assert 6 not in pat, "f6 caches hold projected encoder K/V, not zeros"
     Ap = _round_up(A, lane)
     B = _round_up(B, sublane)
     z = lambda *s: jnp.zeros(s, dtype)
     shapes = {1: (G, bc, B, Ap), 2: (G, bc, blocks, B, Ap),
               3: (G, 2, bc, B, Ap)}
+    if 7 in pat:
+        shapes[7] = (G, prime_rows + 1, B, Ap)
+    if 0 in pat:
+        shapes[0] = (G, _f0_geom(f0_rows)[0], B, Ap)
     out = []
     for f in pat:
         out += [z(*shapes[f]), z(*shapes[f])]
     return tuple(out)
 
 
-def unpack_caches(c6, A, pat=(1, 2, 3), B=None):
+def unpack_caches(c6, A, pat=(1, 2, 3), B=None, f0_rows=None):
     """Kernel layout -> standard tuple of len(pat) {"k","v"} trees. B slices
-    off the sublane batch padding (None keeps every row)."""
+    off the sublane batch padding (None keeps every row). f0_rows slices the
+    func-0 ring back to its true slot count (chunk-multiple pad dropped)."""
 
     def unpadB(x):  # [..., Bp, A] -> [..., B, A]
         return x if B is None else x[..., :B, :]
@@ -301,7 +348,13 @@ def unpack_caches(c6, A, pat=(1, 2, 3), B=None):
         g, two, bc_, b, _ = x.shape
         return jnp.transpose(x.reshape(g, two * bc_, b, A), (0, 2, 1, 3))
 
-    conv = {1: t1, 2: t2, 3: t3, 6: t1}
+    def t7(x):  # [G,pr+1,Bp,Ap] -> [G,B,pr,A] (garbage row dropped)
+        return t1(x[:, :-1])
+
+    def t0(x):  # [G,Npad,Bp,Ap] -> [G,B,N,A]
+        return t1(x if f0_rows is None else x[:, :f0_rows])
+
+    conv = {1: t1, 2: t2, 3: t3, 6: t1, 7: t7, 0: t0}
     return tuple({"k": conv[f](c6[2 * j]), "v": conv[f](c6[2 * j + 1])}
                  for j, f in enumerate(pat))
 
@@ -315,13 +368,16 @@ def _quick_gelu(x):
 
 
 def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
-            quantized, pat, H, sliced_heads, enc_rows, t_ref, *refs):
+            quantized, pat, H, sliced_heads, enc_rows, prime_rows, f0_rows,
+            f0_chunk, t_ref, *refs):
     """refs: len(pat)×12 (or ×16 with int8 scales) packed param refs
     (weights ANY, biases/LN/scales VMEM), 2*len(pat) cache refs (ANY), x_in;
     outputs x_out + 2*len(pat) aliased cache outs; scratch: canvas, kbuf,
-    vbuf, kstage, vstage, wsem, crsem, wbsem. pat entries in {1,2,3,6};
+    vbuf, kstage, vstage, wsem, crsem, wbsem. pat entries in {0,1,2,3,6,7};
     f6 positions attend a read-only [G, enc_rows, B, Ap] encoder cache
-    with a q-only projection (no write-back)."""
+    with a q-only projection (no write-back); f7 a [G, prime_rows+1, B, Ap]
+    prime cache (see module docstring); f0 a [G, f0_rows(padded), B, Ap]
+    full-context ring read f0_chunk rows at a time with online softmax."""
     P = len(pat)
     n_pp = Sp // PW
     n_m1 = Smp // PW
@@ -441,6 +497,10 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                                        crsem.at[0])
             vd = pltpu.make_async_copy(vi.at[g], vbuf.at[:enc_rows],
                                        crsem.at[1])
+        elif f == 7:
+            rows = prime_rows + 1  # incl. the gen-phase garbage row
+            kd = pltpu.make_async_copy(ki.at[g], kbuf.at[:rows], crsem.at[0])
+            vd = pltpu.make_async_copy(vi.at[g], vbuf.at[:rows], crsem.at[1])
         else:
             kd = pltpu.make_async_copy(ki.at[g, ring_r], kbuf.at[:bc],
                                        crsem.at[0])
@@ -464,11 +524,12 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                 def _(j=j, f=f):
                     _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
                             s_row, b_col, ring_w, jnp.maximum(g - 1, 0),
-                            B).wait_all()
+                            B, t, prime_rows).wait_all()
 
-            kd, vd = cache_read(j, g)
-            kd.start()
-            vd.start()
+            if f != 0:           # f0 reads are chunked inside the body below
+                kd, vd = cache_read(j, g)
+                kd.start()
+                vd.start()
 
             xf = x.astype(jnp.float32)
             if Sp == S:
@@ -505,91 +566,188 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                     L, lim, ins = bc, s_row, s_row
                 elif f == 2:
                     L, lim, ins = blocks, b_col, b_col
+                elif f == 7:
+                    # traced lim/ins: mask grows while the prime prefill is
+                    # still running (t < prime_rows); in the gen phase every
+                    # prime slot is visible and ins=-1 patches nothing
+                    L = prime_rows + 1
+                    lim = jnp.minimum(t, prime_rows - 1)
+                    ins = jnp.where(t < prime_rows, t, -1)
+                elif f == 0:
+                    L, lim, ins = None, None, t        # chunked path below
                 else:
                     L, lim, ins = bc, None, None       # reads the PREV ring
                 kstage[j * B:(j + 1) * B, :] = kbf
                 vstage[j * B:(j + 1) * B, :] = vbf
                 _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
-                        s_row, b_col, ring_w, g, B).start_all()
+                        s_row, b_col, ring_w, g, B, t, prime_rows).start_all()
 
-            kd.wait()
-            vd.wait()
-            # buffers are slot-leading [L, B, Ap]; batched matvecs become
-            # VPU broadcast-multiply-reduce (Mosaic supports neither
-            # mid-axis shape casts nor batched dots with an empty lhs
-            # non-contracting set). The current token's K/V never touch the
-            # [L, B, Ap] buffers: its score is patched into the [B, L]
-            # score matrix, and its value contribution is added as
-            # w_ins * v_new after zeroing the stale slot's weight — O(B·L)
-            # and O(B·Ap) fixups instead of O(L·B·Ap) merge passes.
-            # Heads run as a static loop over lane-aligned hd slices.
-            kr = kbuf[:L].astype(jnp.float32) * scale
-            vr = vbuf[:L].astype(jnp.float32)
-            qs = q * scale
-            cols = lax.broadcasted_iota(jnp.int32, (B, L), 1)
-            # heads: lane-aligned hd runs as sliced [.., hd] ops; otherwise
-            # (e.g. the 5b top's hd=150) every op stays full [.., Ap] width
-            # with a per-head iota column mask — identical Mosaic shape
-            # formulations to the H=1 path, H x the VPU elementwise work
-            # (noise next to the weight stream), zero alignment demands
-            lane_a = lax.broadcasted_iota(jnp.int32, (1, Ap), 1)
-            if ins is not None:
+            if f == 0:
+                # ---- dense full-context ring: chunked online softmax ------
+                # t//CH + 1 live chunks of CH rows each; the current token's
+                # score/value are patched in exactly like the single-shot
+                # paths (its ring slot holds stale bytes while the write-back
+                # DMA is in flight).
+                CH = f0_chunk
+                ki0, vi0 = cache_in[j]
+                qs0 = q * scale
                 kbf32 = kbf.astype(jnp.float32)
                 vbf32 = vbf.astype(jnp.float32)
-            o_heads = []
-            o_acc = None
-            for h in range(H):
-                knewh = vnewh = None
+                lane_a = lax.broadcasted_iota(jnp.int32, (1, Ap), 1)
+                hs_meta = []
+                for h in range(H):
+                    if sliced_heads:
+                        hsl = slice(h * hd, (h + 1) * hd)
+                        hs_meta.append((qs0[:, hsl], kbf32[:, hsl],
+                                        vbf32[:, hsl], None, hd, hsl))
+                    else:
+                        mh = (lane_a // hd == h) & (lane_a < A)
+                        hs_meta.append((jnp.where(mh, qs0, 0.0), kbf32,
+                                        vbf32, mh, Ap, None))
+                neg0 = jnp.full((B, 1), NEG, jnp.float32)
+                zer0 = jnp.zeros((B, 1), jnp.float32)
+                init = tuple((neg0, zer0, zer0,
+                              jnp.zeros((B, w), jnp.float32))
+                             for (_, _, _, _, w, _) in hs_meta)
+
+                def f0_body(c, carry, _ki=ki0, _vi=vi0):
+                    kd0 = pltpu.make_async_copy(
+                        _ki.at[g, pl.ds(c * CH, CH)], kbuf.at[:CH],
+                        crsem.at[0])
+                    vd0 = pltpu.make_async_copy(
+                        _vi.at[g, pl.ds(c * CH, CH)], vbuf.at[:CH],
+                        crsem.at[1])
+                    kd0.start()
+                    vd0.start()
+                    kd0.wait()
+                    vd0.wait()
+                    krc = kbuf[:CH].astype(jnp.float32) * scale
+                    vrc = vbuf[:CH].astype(jnp.float32)
+                    colsc = c * CH + lax.broadcasted_iota(jnp.int32,
+                                                          (B, CH), 1)
+                    nxt = []
+                    for h, (qh, knh, vnh, mh, w, hsl) in enumerate(hs_meta):
+                        krh = krc if hsl is None else krc[..., hsl]
+                        vrh = vrc if hsl is None else vrc[..., hsl]
+                        qb = lax.broadcast_in_dim(qh, (CH, B, w), (1, 2))
+                        st = jnp.sum(qb * krh, axis=-1).T          # [B, CH]
+                        sc_new = jnp.sum(qh * knh * scale, axis=-1,
+                                         keepdims=True)
+                        st = jnp.where(colsc == t, sc_new, st)
+                        st = jnp.where(colsc <= t, st, NEG)
+                        m, l, wi, acc = carry[h]
+                        m2 = jnp.maximum(m, jnp.max(st, axis=-1,
+                                                    keepdims=True))
+                        r = jnp.exp(m - m2)
+                        p = jnp.exp(st - m2)
+                        wi2 = wi * r + jnp.sum(
+                            jnp.where(colsc == t, p, 0.0), axis=-1,
+                            keepdims=True)
+                        p = jnp.where(colsc == t, 0.0, p)
+                        l2 = l * r + jnp.sum(p, axis=-1, keepdims=True)
+                        sb = lax.broadcast_in_dim(p.T, (CH, B, w), (0, 1))
+                        acc2 = acc * r + jnp.sum(sb * vrh, axis=0)
+                        nxt.append((m2, l2, wi2, acc2))
+                    return tuple(nxt)
+
+                carry = lax.fori_loop(0, t // CH + 1, f0_body, init)
+                o_heads, o_acc = [], None
+                for h, (qh, knh, vnh, mh, w, hsl) in enumerate(hs_meta):
+                    m, l, wi, acc = carry[h]
+                    o_h = (acc + wi * vnh) / (l + wi)
+                    if sliced_heads:
+                        o_heads.append(o_h)
+                    else:
+                        o_h = jnp.where(mh, o_h, 0.0)
+                        o_acc = o_h if o_acc is None else o_acc + o_h
                 if sliced_heads:
-                    hs = slice(h * hd, (h + 1) * hd)
-                    qh, krh, vrh = qs[:, hs], kr[..., hs], vr[..., hs]
-                    if ins is not None:
-                        knewh, vnewh = kbf32[:, hs], vbf32[:, hs]
-                    width = hd
+                    o = (o_heads[0] if H == 1
+                         else jnp.concatenate(o_heads, axis=-1))
+                    if Ap != A:
+                        o = jnp.concatenate(
+                            [o, jnp.zeros((B, Ap - A), o.dtype)], axis=-1)
                 else:
-                    mh = (lane_a // hd == h) & (lane_a < A)    # [1, Ap]
-                    qh = jnp.where(mh, qs, 0.0)
-                    krh, vrh = kr, vr                          # masked via qh
-                    if ins is not None:
-                        knewh, vnewh = kbf32, vbf32
-                    width = Ap
-                qb = lax.broadcast_in_dim(qh, (L, B, width), (1, 2))
-                # [B, L] orientation: lane-axis softmax is the only
-                # formulation Mosaic compiles after a lane reduction
-                # (sublane-axis keepdims hits a relayout bug)
-                st = jnp.sum(qb * krh, axis=-1).T              # [B, L]
-                if ins is not None:
-                    sc_new = jnp.sum(qh * knewh * scale,
-                                     axis=-1, keepdims=True)   # [B, 1]
-                    st = jnp.where(cols == ins, sc_new, st)
-                if lim is not None:
-                    st = jnp.where(cols <= lim, st, NEG)
-                smax = jnp.max(st, axis=-1, keepdims=True)
-                sexp = jnp.exp(st - smax)
-                w_bl = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
-                if ins is not None:
-                    w_ins = jnp.sum(jnp.where(cols == ins, w_bl, 0.0),
-                                    axis=-1, keepdims=True)    # [B, 1]
-                    w_bl = jnp.where(cols == ins, 0.0, w_bl)
-                w_att = w_bl.T                                 # [L, B]
-                sb = lax.broadcast_in_dim(w_att, (L, B, width), (0, 1))
-                o_h = jnp.sum(sb * vrh, axis=0)                # [B, width]
-                if ins is not None:
-                    o_h = o_h + w_ins * vnewh
-                if sliced_heads:
-                    o_heads.append(o_h)
-                else:
-                    # other heads' columns carry garbage weights: mask
-                    o_h = jnp.where(mh, o_h, 0.0)
-                    o_acc = o_h if o_acc is None else o_acc + o_h
-            if sliced_heads:
-                o = o_heads[0] if H == 1 else jnp.concatenate(o_heads, axis=-1)
-                if Ap != A:
-                    o = jnp.concatenate(
-                        [o, jnp.zeros((B, Ap - A), o.dtype)], axis=-1)
+                    o = o_acc
+                o = o.astype(x.dtype).astype(jnp.float32)
             else:
-                o = o_acc                                      # [B, Ap]
-            o = o.astype(x.dtype).astype(jnp.float32)
+                kd.wait()
+                vd.wait()
+                # buffers are slot-leading [L, B, Ap]; batched matvecs become
+                # VPU broadcast-multiply-reduce (Mosaic supports neither
+                # mid-axis shape casts nor batched dots with an empty lhs
+                # non-contracting set). The current token's K/V never touch the
+                # [L, B, Ap] buffers: its score is patched into the [B, L]
+                # score matrix, and its value contribution is added as
+                # w_ins * v_new after zeroing the stale slot's weight — O(B·L)
+                # and O(B·Ap) fixups instead of O(L·B·Ap) merge passes.
+                # Heads run as a static loop over lane-aligned hd slices.
+                kr = kbuf[:L].astype(jnp.float32) * scale
+                vr = vbuf[:L].astype(jnp.float32)
+                qs = q * scale
+                cols = lax.broadcasted_iota(jnp.int32, (B, L), 1)
+                # heads: lane-aligned hd runs as sliced [.., hd] ops; otherwise
+                # (e.g. the 5b top's hd=150) every op stays full [.., Ap] width
+                # with a per-head iota column mask — identical Mosaic shape
+                # formulations to the H=1 path, H x the VPU elementwise work
+                # (noise next to the weight stream), zero alignment demands
+                lane_a = lax.broadcasted_iota(jnp.int32, (1, Ap), 1)
+                if ins is not None:
+                    kbf32 = kbf.astype(jnp.float32)
+                    vbf32 = vbf.astype(jnp.float32)
+                o_heads = []
+                o_acc = None
+                for h in range(H):
+                    knewh = vnewh = None
+                    if sliced_heads:
+                        hs = slice(h * hd, (h + 1) * hd)
+                        qh, krh, vrh = qs[:, hs], kr[..., hs], vr[..., hs]
+                        if ins is not None:
+                            knewh, vnewh = kbf32[:, hs], vbf32[:, hs]
+                        width = hd
+                    else:
+                        mh = (lane_a // hd == h) & (lane_a < A)    # [1, Ap]
+                        qh = jnp.where(mh, qs, 0.0)
+                        krh, vrh = kr, vr                          # masked via qh
+                        if ins is not None:
+                            knewh, vnewh = kbf32, vbf32
+                        width = Ap
+                    qb = lax.broadcast_in_dim(qh, (L, B, width), (1, 2))
+                    # [B, L] orientation: lane-axis softmax is the only
+                    # formulation Mosaic compiles after a lane reduction
+                    # (sublane-axis keepdims hits a relayout bug)
+                    st = jnp.sum(qb * krh, axis=-1).T              # [B, L]
+                    if ins is not None:
+                        sc_new = jnp.sum(qh * knewh * scale,
+                                         axis=-1, keepdims=True)   # [B, 1]
+                        st = jnp.where(cols == ins, sc_new, st)
+                    if lim is not None:
+                        st = jnp.where(cols <= lim, st, NEG)
+                    smax = jnp.max(st, axis=-1, keepdims=True)
+                    sexp = jnp.exp(st - smax)
+                    w_bl = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
+                    if ins is not None:
+                        w_ins = jnp.sum(jnp.where(cols == ins, w_bl, 0.0),
+                                        axis=-1, keepdims=True)    # [B, 1]
+                        w_bl = jnp.where(cols == ins, 0.0, w_bl)
+                    w_att = w_bl.T                                 # [L, B]
+                    sb = lax.broadcast_in_dim(w_att, (L, B, width), (0, 1))
+                    o_h = jnp.sum(sb * vrh, axis=0)                # [B, width]
+                    if ins is not None:
+                        o_h = o_h + w_ins * vnewh
+                    if sliced_heads:
+                        o_heads.append(o_h)
+                    else:
+                        # other heads' columns carry garbage weights: mask
+                        o_h = jnp.where(mh, o_h, 0.0)
+                        o_acc = o_h if o_acc is None else o_acc + o_h
+                if sliced_heads:
+                    o = o_heads[0] if H == 1 else jnp.concatenate(o_heads, axis=-1)
+                    if Ap != A:
+                        o = jnp.concatenate(
+                            [o, jnp.zeros((B, Ap - A), o.dtype)], axis=-1)
+                else:
+                    o = o_acc                                      # [B, Ap]
+                o = o.astype(x.dtype).astype(jnp.float32)
 
             # ---- proj pieces -------------------------------------------------
             a_cols = []
@@ -650,7 +808,7 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
     for j in range(P):
         if pat[j] != 6:
             _wb_dma(j, pat[j], cache_w, kstage, vstage, wbsem, bc,
-                    s_row, b_col, ring_w, G - 1, B).wait_all()
+                    s_row, b_col, ring_w, G - 1, B, t, prime_rows).wait_all()
 
 
 class _WbPair:
@@ -671,12 +829,19 @@ class _WbPair:
 
 
 def _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
-            s_row, b_col, ring_w, g, B):
+            s_row, b_col, ring_w, g, B, t=None, prime_rows=0):
     ko, vo = cache_w[j]
     if f == 1:
         kdst, vdst = ko.at[g, s_row], vo.at[g, s_row]
     elif f == 2:
         kdst, vdst = ko.at[g, s_row, b_col], vo.at[g, s_row, b_col]
+    elif f == 7:
+        # prime prefix while t < prime_rows; the trailing garbage row after
+        # (the reference drops gen-phase writes, models/attention.py f7)
+        s7 = jnp.minimum(t, prime_rows)
+        kdst, vdst = ko.at[g, s7], vo.at[g, s7]
+    elif f == 0:
+        kdst, vdst = ko.at[g, t], vo.at[g, t]
     else:
         kdst, vdst = ko.at[g, ring_w, s_row], vo.at[g, ring_w, s_row]
     kd = pltpu.make_async_copy(kstage.at[pl.ds(j * B, B), :], kdst,
@@ -695,7 +860,7 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                        lane=128, n_slots=4, dtype=jnp.bfloat16,
                        quantized=False, pat=(1, 2, 3), n_head=1,
                        interpret=False, head_mode="auto", enc_rows=0,
-                       sublane=8):
+                       sublane=8, prime_rows=0, f0_rows=0):
     """Returns fn(flat_packed, caches6, x, t) -> (x_new, caches6).
 
     flat_packed: list from _flatten_packed(pack_decode_params(p_seg, lane)).
@@ -705,16 +870,27 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     5 garbage rows that never leave the kernel).
     x: [B, 1, S] activation (cast to bf16). t: int32 scalar token position.
     pat: the segment's attn_func pattern — any ordering of {1, 2, 3},
-    optionally interleaved with 6 (encoder cross-attention, e.g. the 5b
-    order-10 (1,2,3,1,2,3,1,2,3,6) segments); enc_rows gives the f6
-    cache's row count (the lyric-encoder length).
+    optionally interleaved with the specials: 6 (encoder cross-attention,
+    e.g. the 5b order-10 (1,2,3,1,2,3,1,2,3,6) segments; enc_rows gives the
+    cache's row count), 7 (lyric-prime attention; prime_rows = the
+    block-aligned _prime_len) and 0 (dense full-context; f0_rows = the
+    ALLOCATED ring rows, a chunk multiple) — so the order-12 top schedules'
+    flat special layers ride the kernel as single-layer segments.
     n_head > 1 requires only A % n_head == 0: lane-aligned head dims (1b
     top hd=256) decode via slices, others (5b top hd=150) via full-width
     masked-head ops. head_mode forces "sliced"/"masked" (tests).
     """
-    assert set(pat) <= {1, 2, 3, 6} and {1, 2, 3} <= set(pat), pat
+    assert set(pat) <= {0, 1, 2, 3, 6, 7}, pat
     assert A % n_head == 0
     assert 6 not in pat or enc_rows > 0, "f6 segments need enc_rows"
+    assert 7 not in pat or prime_rows > 0, "f7 segments need prime_rows"
+    assert 0 not in pat or f0_rows > 0, "f0 segments need f0_rows"
+    if 0 in pat:
+        rows_pad, f0_chunk = _f0_geom(f0_rows)
+        assert rows_pad == f0_rows, \
+            f"f0 caches must be chunk-padded: {f0_rows} vs {rows_pad}"
+    else:
+        f0_chunk = 0
     P = len(pat)
     Ap = _round_up(A, lane)
     Sp = _round_up(S, lane)
@@ -724,13 +900,15 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     hd = A // n_head
     sliced_heads = (hd % lane == 0 and A % lane == 0) \
         if head_mode == "auto" else head_mode == "sliced"
-    max_rows = max(blocks if f == 2 else enc_rows if f == 6 else bc
-                   for f in pat)
+    max_rows = max(blocks if f == 2 else enc_rows if f == 6
+                   else prime_rows + 1 if f == 7 else f0_chunk if f == 0
+                   else bc for f in pat)
 
     Bp = _round_up(B, sublane)
     kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, Sp, Smp, bc,
                                blocks, G, Bp, res_scale, n_slots, quantized,
-                               tuple(pat), n_head, sliced_heads, enc_rows)
+                               tuple(pat), n_head, sliced_heads, enc_rows,
+                               prime_rows, f0_rows, f0_chunk)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pltpu.ANY)

@@ -162,3 +162,98 @@ def test_packed_decode_with_f6_segments(quantize):
                                     - y_pkd.astype(jnp.float32))))
         mag = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)))) + 1e-6
         assert err < 0.04 * max(mag, 1.0), (t, err, mag)
+
+
+def test_packed_flat_specials_full_order12_stack():
+    """Order 12 at depth 50 hits ALL the specials: flat f7 (d=15, 31),
+    flat f0 dense (d=47) and stray f1/f2 tail singles (d=48, 49) — with
+    flat packing every one of the 50 layers decodes through the megakernel
+    (pat=(f,) single-layer segments for the flats). Token-by-token
+    equivalence vs the XLA path, across the prime boundary (t < _prime_len
+    still writes the prime cache) and multiple f0 read chunks."""
+    from jukebox_tpu.ops.pallas import decode_stack
+
+    S, n_ctx, blocks, depth, B = 64, 64, 4, 50, 2
+    old_cap = decode_stack.F0_CHUNK_CAP
+    decode_stack.F0_CHUNK_CAP = 16  # 4 read chunks over the 64-slot ring
+    try:
+        tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=2, n_depth=depth,
+                         attn_order=12, blocks=blocks, m_attn=0.25,
+                         m_mlp=1.0, mask=True, prime_len=20)
+        funcs = [tr.attn_func(d) for d in range(depth)]
+        assert funcs[15] == 7 and funcs[47] == 0
+        params = tr.init(jax.random.key(3))
+        dec = tr.prepare_decode_params(params)
+        packed = tr.pack_stack_segments(dec)
+        # every segment packed: no standard trees left
+        assert all(isinstance(p, dict) and "stack_packed" in p
+                   for p in packed), [type(p) for p in packed]
+
+        rng = np.random.RandomState(4)
+        c_std = tr.init_cache_from_segments(dec, B, jnp.bfloat16)
+        c_pkd = tr.init_cache_from_segments(packed, B, jnp.bfloat16)
+        # prefill one full block (f1/f2/f3 need block-aligned chunks);
+        # prime_len 20 -> _prime_len 24, so decode from t=16 crosses the
+        # prime boundary at t=24 (t < 24 still writes the f7 prime cache)
+        bc = n_ctx // blocks
+        x_chunk = jnp.asarray(0.5 * rng.randn(B, bc, S), jnp.bfloat16)
+        _, c_std = tr.prefill_chunk(dec, c_std, x_chunk, jnp.int32(0), 1,
+                                    fp16=True)
+        _, c_pkd = tr.prefill_chunk(packed, c_pkd, x_chunk, jnp.int32(0), 1,
+                                    fp16=True)
+        c_pkd = tr.pack_segment_caches(packed, c_pkd)
+
+        ref = jax.jit(lambda c, x, t: tr.decode_step(dec, c, x, t,
+                                                     fp16=True,
+                                                     fp16_out=True))
+        mkp = jax.jit(lambda c, x, t: tr.decode_step(packed, c, x, t,
+                                                     fp16=True,
+                                                     fp16_out=True))
+        for t in range(bc, n_ctx):
+            x = jnp.asarray(0.5 * rng.randn(B, 1, S), jnp.bfloat16)
+            y_std, c_std = ref(c_std, x, jnp.asarray(t))
+            y_pkd, c_pkd = mkp(c_pkd, x, jnp.asarray(t))
+            err = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)
+                                        - y_pkd.astype(jnp.float32))))
+            mag = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)))) + 1e-6
+            assert err < 0.04 * max(mag, 1.0), (t, err, mag)
+    finally:
+        decode_stack.F0_CHUNK_CAP = old_cap
+
+
+def test_packed_scan_with_f0_order9():
+    """Order-9 ([1,2,3,0] cycle) scan segments carry the f0 dense ring
+    INSIDE the scanned pattern (G > 1) — the chunked online-softmax read
+    must match the XLA path for every group."""
+    S, n_ctx, blocks, depth, B = 64, 16, 4, 8, 2
+    tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=1, n_depth=depth,
+                     attn_order=9, blocks=blocks, m_attn=0.25, m_mlp=1.0,
+                     mask=True)
+    assert tr.decode_plan == (("scan", (1, 2, 3, 0), (0, 4)),)
+    params = tr.init(jax.random.key(5))
+    dec = tr.prepare_decode_params(params)
+    packed = tr.pack_stack_segments(dec)
+    assert tr.has_packed_segments(packed)
+
+    rng = np.random.RandomState(6)
+    c_std = tr.init_cache_from_segments(dec, B, jnp.bfloat16)
+    c_pkd = tr.init_cache_from_segments(packed, B, jnp.bfloat16)
+    x_chunk = jnp.asarray(0.5 * rng.randn(B, 8, S), jnp.bfloat16)
+    _, c_std = tr.prefill_chunk(dec, c_std, x_chunk, jnp.int32(0), 2,
+                                fp16=True)
+    _, c_pkd = tr.prefill_chunk(packed, c_pkd, x_chunk, jnp.int32(0), 2,
+                                fp16=True)
+    c_pkd = tr.pack_segment_caches(packed, c_pkd)
+
+    ref = jax.jit(lambda c, x, t: tr.decode_step(dec, c, x, t, fp16=True,
+                                                 fp16_out=True))
+    mkp = jax.jit(lambda c, x, t: tr.decode_step(packed, c, x, t, fp16=True,
+                                                 fp16_out=True))
+    for t in range(8, n_ctx):
+        x = jnp.asarray(0.5 * rng.randn(B, 1, S), jnp.bfloat16)
+        y_std, c_std = ref(c_std, x, jnp.asarray(t))
+        y_pkd, c_pkd = mkp(c_pkd, x, jnp.asarray(t))
+        err = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)
+                                    - y_pkd.astype(jnp.float32))))
+        mag = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)))) + 1e-6
+        assert err < 0.03 * max(mag, 1.0), (t, err, mag)
