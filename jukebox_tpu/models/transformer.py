@@ -459,17 +459,20 @@ class Transformer:
                                             p_seg)
                 packed = pack_decode_params((p1,), np_=xp,
                                             quantize=quantize, pat=(f,))
-                out.append({"stack_packed": _flatten_packed(packed),
-                            "flat_func": f})
+                out.append({"stack_packed": _flatten_packed(packed)})
             else:
                 out.append(p_seg)
         return out
 
     def _packed_pat(self, seg, p_seg):
         """The kernel pattern of a packed segment: the scan pattern, or the
-        single-layer (f,) pattern of a packed flat special."""
+        single-layer (f,) pattern of a packed flat special. Derived from the
+        STATIC schedule, never from a params leaf — ints stored as pytree
+        leaves become tracers when the packed params pass through jit (e.g.
+        prior.sample_init), and the pattern drives Python control flow."""
+        del p_seg
         if seg[0] == "flat":
-            return (p_seg["flat_func"],)
+            return (self._flat_stack_func(seg[1]),)
         return tuple(seg[1])
 
     def pack_segment_caches(self, dec_params, caches):

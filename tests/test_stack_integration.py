@@ -257,3 +257,23 @@ def test_packed_scan_with_f0_order9():
                                     - y_pkd.astype(jnp.float32))))
         mag = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)))) + 1e-6
         assert err < 0.03 * max(mag, 1.0), (t, err, mag)
+
+def test_packed_params_as_jit_arguments():
+    """The staged decode passes packed params INTO jit as an argument pytree
+    (prior.sample_init) — every leaf becomes a tracer there. Pattern
+    metadata must come from the static schedule, not from leaves (a stored
+    Python-int 'flat_func' leaf broke cache init with
+    TracerBoolConversionError on the real 1b top)."""
+    tr, dec, packed, (S, n_ctx, blocks, B) = _setup(order=12)
+
+    @jax.jit
+    def init_and_step(pk, x):
+        cache = tr.init_cache_from_segments(pk, B, jnp.bfloat16)
+        y, cache = tr.decode_step(pk, cache, x, jnp.int32(0), fp16=True,
+                                  fp16_out=True)
+        return y
+
+    x = jnp.asarray(np.random.RandomState(0).randn(B, 1, S), jnp.bfloat16)
+    y = init_and_step(packed, x)
+    assert y.shape == (B, 1, S) and bool(jnp.all(jnp.isfinite(
+        y.astype(jnp.float32))))
