@@ -91,7 +91,10 @@ else:
 
 rng = jax.random.key(0)
 times = []
+profile_dir = os.environ.get("TRAIN_BENCH_PROFILE", "")
 for i in range(n_steps):
+    if profile_dir and i == n_steps - 2:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     params, opt, state, loss, metrics = step_fn(
         params, opt, state, batch, jax.random.fold_in(rng, i),
@@ -100,6 +103,9 @@ for i in range(n_steps):
     dt = time.time() - t0
     times.append(dt)
     print(f"step {i}: {dt*1e3:.1f} ms  loss={float(loss):.4f}", flush=True)
+if profile_dir:
+    jax.profiler.stop_trace()
+    print(f"profile trace (last 2 steps) -> {profile_dir}")
 
 steady = times[2:] if len(times) > 4 else times[1:]
 mean = sum(steady) / len(steady)
