@@ -40,9 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from jukebox_tpu.ops.core import dense, dense_init
+from jukebox_tpu.ops.core import _prec, dense, dense_init
 
-_PRECISION = lax.Precision.HIGHEST
 NEG = -1e9
 
 # Opt-in blocked (flash) kernel for the long-context dense layers; set
@@ -117,7 +116,7 @@ def dense_attn(q, k, v, n_head, mask=None, record=False, dropout_rng=None,
     qh = split_heads(q, n_head) * jnp.asarray(scale, q.dtype)
     kh = split_heads(k, n_head) * jnp.asarray(scale, k.dtype)
     vh = split_heads(v, n_head)
-    w = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, precision=_PRECISION,
+    w = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, precision=_prec(q.dtype),
                    preferred_element_type=jnp.float32)
     if mask is not None:
         if isinstance(mask, str):
@@ -135,7 +134,7 @@ def dense_attn(q, k, v, n_head, mask=None, record=False, dropout_rng=None,
     rec = w if record else None
     from jukebox_tpu.ops.core import dropout
     w = dropout(w, attn_dropout, dropout_rng)
-    a = jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), vh, precision=_PRECISION,
+    a = jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), vh, precision=_prec(q.dtype),
                    preferred_element_type=q.dtype)
     return merge_heads(a), rec
 
@@ -153,13 +152,13 @@ def _slot_leading_attn(q, k_t, v_t, n_head, mask=None):
     qh = q.reshape(B, C, n_head, hd) * jnp.asarray(scale, q.dtype)
     kh = k_t.reshape(-1, B, n_head, hd) * jnp.asarray(scale, k_t.dtype)
     vh = v_t.reshape(-1, B, n_head, hd)
-    w = jnp.einsum("bchd,lbhd->bhcl", qh, kh, precision=_PRECISION,
+    w = jnp.einsum("bchd,lbhd->bhcl", qh, kh, precision=_prec(q.dtype),
                    preferred_element_type=jnp.float32)
     if mask is not None:
         w = w * mask + NEG * (1 - mask)
     w = jax.nn.softmax(w, axis=-1)
     a = jnp.einsum("bhcl,lbhd->bchd", w.astype(q.dtype), vh,
-                   precision=_PRECISION, preferred_element_type=q.dtype)
+                   precision=_prec(q.dtype), preferred_element_type=q.dtype)
     return a.reshape(B, C, S)
 
 
@@ -699,14 +698,14 @@ class FactoredAttention:
                 * scale.astype(kg.dtype)
             vh = vg.reshape(bc, self.blocks, B, self.n_head, hd)
             w = jnp.einsum("bcjhd,clbhd->bchjl", qh, kh,
-                           precision=_PRECISION,
+                           precision=_prec(q.dtype),
                            preferred_element_type=jnp.float32)
             mask = (jnp.arange(self.blocks)[None, :]
                     <= (b0 + jnp.arange(n_blocks))[:, None]).astype(jnp.float32)
             w = w * mask + NEG * (1 - mask)
             w = jax.nn.softmax(w, axis=-1)
             a = jnp.einsum("bchjl,clbhd->bcjhd", w.astype(q.dtype), vh,
-                           precision=_PRECISION,
+                           precision=_prec(q.dtype),
                            preferred_element_type=q.dtype)
             a = (a.reshape(B, bc, n_blocks, S).transpose(0, 2, 1, 3)
                  .reshape(B, C, S))

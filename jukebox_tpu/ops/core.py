@@ -27,11 +27,19 @@ def dense_init(rng, n_in, n_out, init_scale=1.0, zero_out=False):
     return {"w": w, "b": jnp.zeros((n_out,), dtype=jnp.float32)}
 
 
-# Always request full precision for the *declared* dtype: JAX's default
-# precision silently runs fp32 matmuls/convs in reduced precision. Speed on
-# TPU is controlled by casting activations to bf16, not by letting the
-# compiler downgrade fp32.
+# fp32 operands request full (multi-pass) precision: JAX's default precision
+# silently runs fp32 matmuls/convs in reduced precision. Speed on TPU is
+# controlled by casting activations to bf16, not by letting the compiler
+# downgrade fp32. For bf16/f16 operands DEFAULT is already exact (native MXU
+# bf16xbf16 -> f32 accumulation); requesting HIGHEST there asks for an fp32-
+# precision contraction of bf16 inputs — slower (multi-pass) and a Mosaic
+# "Bad lhs type" compile failure in some backward fusions on v5e.
 _PRECISION = lax.Precision.HIGHEST
+
+
+def _prec(dtype):
+    return (lax.Precision.HIGHEST if dtype == jnp.float32
+            else lax.Precision.DEFAULT)
 
 
 def dense(params, x):
@@ -47,11 +55,11 @@ def dense(params, x):
     if "w_q" in params:
         w = params["w_q"].astype(x.dtype)
         b = params["b"].astype(x.dtype)
-        y = jnp.dot(x, w, preferred_element_type=x.dtype, precision=_PRECISION)
+        y = jnp.dot(x, w, preferred_element_type=x.dtype, precision=_prec(x.dtype))
         return y * params["s"].astype(x.dtype) + b
     w = params["w"].astype(x.dtype)
     b = params["b"].astype(x.dtype)
-    return jnp.dot(x, w, preferred_element_type=x.dtype, precision=_PRECISION) + b
+    return jnp.dot(x, w, preferred_element_type=x.dtype, precision=_prec(x.dtype)) + b
 
 
 def quantize_dense(params, np_=None):
@@ -159,7 +167,7 @@ def conv1d(params, x, stride=1, padding=0, dilation=1):
         rhs_dilation=(dilation,),
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=x.dtype,
-        precision=_PRECISION,
+        precision=_prec(x.dtype),
     )
     return out + params["b"].astype(x.dtype)
 
@@ -195,7 +203,7 @@ def conv_transpose1d(params, x, stride, padding):
         lhs_dilation=(stride,),
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=x.dtype,
-        precision=_PRECISION,
+        precision=_prec(x.dtype),
     )
     return out + params["b"].astype(x.dtype)
 

@@ -21,6 +21,20 @@ import numpy as np
 preset = sys.argv[1] if len(sys.argv) > 1 else "small_prior"
 bs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+# extra key=value hps overrides, e.g. fp16=1 (bf16 compute — the mode the
+# released models actually trained in; the preset defaults keep fp32/HIGHEST
+# numerics-parity matmuls, ~6x off the v5e bf16 MXU peak)
+extra = {}
+for kv in sys.argv[4:]:
+    k, v = kv.split("=", 1)
+    try:
+        v = int(v)
+    except ValueError:
+        try:
+            v = float(v)
+        except ValueError:
+            pass
+    extra[k] = bool(v) if k in ("fp16", "fp16_opt", "labels") else v
 
 cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -52,7 +66,7 @@ if is_prior:
         # training form: labels + remat like the released run
         overrides.update(labels=True, labels_v3=True,
                          min_duration=17.84, max_duration=600.0, c_res=1)
-    hps = setup_hparams(preset, dict(sample_length=0, **overrides))
+    hps = setup_hparams(preset, dict(sample_length=0, **overrides, **extra))
     n_ctx = hps.n_ctx
     from jukebox_tpu.models.vqvae import calculate_strides
     downs = calculate_strides(vq_hps.strides_t, vq_hps.downs_t)
@@ -147,3 +161,9 @@ if flops is not None:
     peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
     print(f"model flops/step ~{flops/1e12:.2f} TF -> MFU "
           f"{100 * flops / mean / peak:.1f}% of {peak/1e12:.0f} TF/s peak")
+    if is_prior and not hps.fp16:
+        # fp32 params run HIGHEST-precision (6-pass) matmuls by design
+        # (ops/core.py _PRECISION); the bf16 MXU peak is not reachable
+        print(f"   (fp32/HIGHEST mode: vs the ~{peak/6e12:.0f} TF/s 6-pass "
+              f"envelope this is {100 * flops / mean / (peak / 6):.1f}%; "
+              f"pass fp16=1 for the bf16 training mode)")
