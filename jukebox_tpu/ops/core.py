@@ -34,9 +34,6 @@ def dense_init(rng, n_in, n_out, init_scale=1.0, zero_out=False):
 # bf16xbf16 -> f32 accumulation); requesting HIGHEST there asks for an fp32-
 # precision contraction of bf16 inputs — slower (multi-pass) and a Mosaic
 # "Bad lhs type" compile failure in some backward fusions on v5e.
-_PRECISION = lax.Precision.HIGHEST
-
-
 def _prec(dtype):
     return (lax.Precision.HIGHEST if dtype == jnp.float32
             else lax.Precision.DEFAULT)

@@ -508,6 +508,21 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                                        crsem.at[1])
         return kd, vd
 
+    def f0_read(j, g, c):
+        """Chunk-c read of an f0 ring into ping-pong slot c%2 (so chunk c+1
+        streams while chunk c is in the online-softmax math; sems 2*(c%2)
+        and 2*(c%2)+1 keep the two in-flight pairs independent)."""
+        ki, vi = cache_in[j]
+        slot = (c % 2) * f0_chunk
+        sem = 2 * (c % 2)
+        kd = pltpu.make_async_copy(ki.at[g, pl.ds(c * f0_chunk, f0_chunk)],
+                                   kbuf.at[pl.ds(slot, f0_chunk)],
+                                   crsem.at[sem])
+        vd = pltpu.make_async_copy(vi.at[g, pl.ds(c * f0_chunk, f0_chunk)],
+                                   vbuf.at[pl.ds(slot, f0_chunk)],
+                                   crsem.at[sem + 1])
+        return kd, vd
+
     def group_body(g, _):
         x = x_out[:]                                   # [B, Sp]
         col_real = (lax.broadcasted_iota(jnp.int32, (1, Sp), 1) < S) \
@@ -526,7 +541,13 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                             s_row, b_col, ring_w, jnp.maximum(g - 1, 0),
                             B, t, prime_rows).wait_all()
 
-            if f != 0:           # f0 reads are chunked inside the body below
+            if f == 0:
+                # start the first ring chunk here (overlaps LN + qkv like the
+                # single-shot reads); chunks then ping-pong inside the body
+                kd0, vd0 = f0_read(j, g, jnp.int32(0))
+                kd0.start()
+                vd0.start()
+            else:
                 kd, vd = cache_read(j, g)
                 kd.start()
                 vd.start()
@@ -589,7 +610,6 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                 # paths (its ring slot holds stale bytes while the write-back
                 # DMA is in flight).
                 CH = f0_chunk
-                ki0, vi0 = cache_in[j]
                 qs0 = q * scale
                 kbf32 = kbf.astype(jnp.float32)
                 vbf32 = vbf.astype(jnp.float32)
@@ -610,19 +630,26 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                               jnp.zeros((B, w), jnp.float32))
                              for (_, _, _, _, w, _) in hs_meta)
 
-                def f0_body(c, carry, _ki=ki0, _vi=vi0):
-                    kd0 = pltpu.make_async_copy(
-                        _ki.at[g, pl.ds(c * CH, CH)], kbuf.at[:CH],
-                        crsem.at[0])
-                    vd0 = pltpu.make_async_copy(
-                        _vi.at[g, pl.ds(c * CH, CH)], vbuf.at[:CH],
-                        crsem.at[1])
-                    kd0.start()
-                    vd0.start()
-                    kd0.wait()
-                    vd0.wait()
-                    krc = kbuf[:CH].astype(jnp.float32) * scale
-                    vrc = vbuf[:CH].astype(jnp.float32)
+                last_chunk = t // CH
+
+                def f0_body(c, carry, _j=j):
+                    # chunk c was started by the previous iteration (chunk 0
+                    # by the pre-LN prologue); wait it, then kick chunk c+1
+                    # into the other ping-pong slot so its HBM read overlaps
+                    # this chunk's math
+                    kdc, vdc = f0_read(_j, g, c)
+                    kdc.wait()
+                    vdc.wait()
+
+                    @pl.when(c + 1 <= last_chunk)
+                    def _():
+                        kdn, vdn = f0_read(_j, g, c + 1)
+                        kdn.start()
+                        vdn.start()
+
+                    sl = (c % 2) * CH
+                    krc = kbuf[pl.ds(sl, CH)].astype(jnp.float32) * scale
+                    vrc = vbuf[pl.ds(sl, CH)].astype(jnp.float32)
                     colsc = c * CH + lax.broadcasted_iota(jnp.int32,
                                                           (B, CH), 1)
                     nxt = []
@@ -650,7 +677,7 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                         nxt.append((m2, l2, wi2, acc2))
                     return tuple(nxt)
 
-                carry = lax.fori_loop(0, t // CH + 1, f0_body, init)
+                carry = lax.fori_loop(0, last_chunk + 1, f0_body, init)
                 o_heads, o_acc = [], None
                 for h, (qh, knh, vnh, mh, w, hsl) in enumerate(hs_meta):
                     m, l, wi, acc = carry[h]
@@ -901,7 +928,8 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     sliced_heads = (hd % lane == 0 and A % lane == 0) \
         if head_mode == "auto" else head_mode == "sliced"
     max_rows = max(blocks if f == 2 else enc_rows if f == 6
-                   else prime_rows + 1 if f == 7 else f0_chunk if f == 0
+                   else prime_rows + 1 if f == 7
+                   else 2 * f0_chunk if f == 0   # ping-pong chunk slots
                    else bc for f in pat)
 
     Bp = _round_up(B, sublane)
@@ -939,7 +967,8 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                 pltpu.VMEM((P * Bp, Ap), dtype),        # k write stage
                 pltpu.VMEM((P * Bp, Ap), dtype),        # v write stage
                 pltpu.SemaphoreType.DMA((n_slots,)),    # weight piece sems
-                pltpu.SemaphoreType.DMA((2,)),          # cache read sems
+                pltpu.SemaphoreType.DMA((4,)),          # cache read sems (f0
+                                                        # ping-pong uses 2 pairs)
                 pltpu.SemaphoreType.DMA((P, 2)),        # write-back sems
             ],
             input_output_aliases={

@@ -66,7 +66,7 @@ if is_prior:
         # training form: labels + remat like the released run
         overrides.update(labels=True, labels_v3=True,
                          min_duration=17.84, max_duration=600.0, c_res=1)
-    hps = setup_hparams(preset, dict(sample_length=0, **overrides, **extra))
+    hps = setup_hparams(preset, {"sample_length": 0, **overrides, **extra})
     n_ctx = hps.n_ctx
     from jukebox_tpu.models.vqvae import calculate_strides
     downs = calculate_strides(vq_hps.strides_t, vq_hps.downs_t)
@@ -163,7 +163,7 @@ if flops is not None:
           f"{100 * flops / mean / peak:.1f}% of {peak/1e12:.0f} TF/s peak")
     if is_prior and not hps.fp16:
         # fp32 params run HIGHEST-precision (6-pass) matmuls by design
-        # (ops/core.py _PRECISION); the bf16 MXU peak is not reachable
+        # (ops/core.py _prec); the bf16 MXU peak is not reachable
         print(f"   (fp32/HIGHEST mode: vs the ~{peak/6e12:.0f} TF/s 6-pass "
               f"envelope this is {100 * flops / mean / (peak / 6):.1f}%; "
               f"pass fp16=1 for the bf16 training mode)")

@@ -17,7 +17,9 @@ def _setup(quantize=False, order=2):
     if order == 12:
         # depth 22 yields flat f7 at 15, a rotated (2,3,1) scan at 16..21,
         # plus the plain (1,2,3) scans — exercises rotations, heads=2 and
-        # the mixed megakernel/XLA decode (f7 flat stays on the XLA path)
+        # single-layer packed flats (since the f7/f0 kernel patterns landed,
+        # every flat special packs; mixed megakernel/XLA decode is covered
+        # by test_packed_decode_with_f6_segments' standard-flat layers)
         S, n_ctx, blocks, depth, B = 64, 32, 4, 22, 2
         tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=2, n_depth=depth,
                          attn_order=12, blocks=blocks, m_attn=0.25,
@@ -277,3 +279,38 @@ def test_packed_params_as_jit_arguments():
     y = init_and_step(packed, x)
     assert y.shape == (B, 1, S) and bool(jnp.all(jnp.isfinite(
         y.astype(jnp.float32))))
+
+def test_mixed_packed_and_xla_flat_f6():
+    """Flat f6 layers stay on the XLA path (no enc_proj packing for flats)
+    while the scan segments around them pack — the mixed megakernel/XLA
+    decode interleaving must stay token-identical. depth 19 order 10 ends
+    in a flat f6 after six packed (1,2,3) groups."""
+    S, n_ctx, blocks, depth, B, enc_l = 64, 16, 4, 19, 2, 16
+    tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=2, n_depth=depth,
+                     attn_order=10, blocks=blocks, m_attn=0.25, m_mlp=1.0,
+                     mask=True, encoder_dims=enc_l)
+    assert tr.decode_plan[-1] == ("flat", 18)
+    params = tr.init(jax.random.key(5))
+    dec = tr.prepare_decode_params(params)
+    packed = tr.pack_stack_segments(dec)
+    kinds = [isinstance(p, dict) and "stack_packed" in p for p in packed]
+    assert kinds == [True, False], kinds  # packed scan + standard XLA flat
+
+    rng = np.random.RandomState(6)
+    enc_kv = jnp.asarray(0.5 * rng.randn(B, enc_l, S), jnp.bfloat16)
+    c_std = tr.init_cache_from_segments(dec, B, jnp.bfloat16,
+                                        encoder_kv=enc_kv)
+    c_pkd = tr.init_cache_from_segments(packed, B, jnp.bfloat16,
+                                        encoder_kv=enc_kv)
+    ref = jax.jit(lambda c, x, t: tr.decode_step(dec, c, x, t, fp16=True,
+                                                 fp16_out=True))
+    mkp = jax.jit(lambda c, x, t: tr.decode_step(packed, c, x, t, fp16=True,
+                                                 fp16_out=True))
+    for t in range(n_ctx):
+        x = jnp.asarray(0.5 * rng.randn(B, 1, S), jnp.bfloat16)
+        y_std, c_std = ref(c_std, x, jnp.asarray(t))
+        y_pkd, c_pkd = mkp(c_pkd, x, jnp.asarray(t))
+        err = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)
+                                    - y_pkd.astype(jnp.float32))))
+        mag = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)))) + 1e-6
+        assert err < 0.03 * max(mag, 1.0), (t, err, mag)
