@@ -368,8 +368,8 @@ def _quick_gelu(x):
 
 
 def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
-            quantized, pat, H, sliced_heads, enc_rows, prime_rows, f0_rows,
-            f0_chunk, t_ref, *refs):
+            quantized, pat, H, sliced_heads, matmul_heads, enc_rows,
+            prime_rows, f0_rows, f0_chunk, t_ref, *refs):
     """refs: len(pat)×12 (or ×16 with int8 scales) packed param refs
     (weights ANY, biases/LN/scales VMEM), 2*len(pat) cache refs (ANY), x_in;
     outputs x_out + 2*len(pat) aliased cache outs; scratch: canvas, kbuf,
@@ -696,6 +696,85 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                 else:
                     o = o_acc
                 o = o.astype(x.dtype).astype(jnp.float32)
+            elif matmul_heads:
+                kd.wait()
+                vd.wait()
+                # ---- head-membership-matmul multi-head (hd not lane-aligned,
+                # e.g. the 5b top's hd=150) ----------------------------------
+                # The masked-head formulation repeats the two O(L·B·Ap)
+                # VPU passes (score multiply-reduce, value apply) once per
+                # head. Here the full-width elementwise product z = q·K is
+                # computed ONCE and contracted with the static [Ap, H] 0/1
+                # head-membership matrix on the MXU to get all heads' scores;
+                # the per-head softmax weights are then expanded back to lane
+                # space by the transposed membership matmul and applied to V
+                # in ONE full-width pass. VPU traffic drops from 2H to ~3
+                # full-width passes; the two membership dots are tiny MXU
+                # work. Chunked over L (CL=128) so the z / W·M intermediates
+                # stay a few MB regardless of L (f6 reads enc_rows=512).
+                # Layout notes: B is sublane-padded, so [cl, B, Ap] <->
+                # [cl*B, Ap] reshapes are layout-preserving; per-head score
+                # extraction is an 8-lane masked reduce, not a lane slice.
+                ia_h = lax.broadcasted_iota(jnp.int32, (Ap, H), 0)
+                ih_h = lax.broadcasted_iota(jnp.int32, (Ap, H), 1)
+                Mm = ((ia_h // hd == ih_h) & (ia_h < A)).astype(jnp.float32)
+                ia_t = lax.broadcasted_iota(jnp.int32, (H, Ap), 1)
+                ih_t = lax.broadcasted_iota(jnp.int32, (H, Ap), 0)
+                MmT = ((ia_t // hd == ih_t) & (ia_t < A)).astype(jnp.float32)
+                q2 = q * (scale * scale)                   # both scale factors
+                if ins is not None:
+                    kbf32 = kbf.astype(jnp.float32)
+                    vbf32 = vbf.astype(jnp.float32)
+                    sc_all = jnp.dot(q2 * kbf32, Mm,
+                                     preferred_element_type=jnp.float32)
+                cols = lax.broadcasted_iota(jnp.int32, (B, L), 1)
+                CL = min(L, 128)
+                sts = []
+                for c0 in range(0, L, CL):
+                    cl = min(CL, L - c0)
+                    krc = kbuf[c0:c0 + cl].astype(jnp.float32)
+                    qb = lax.broadcast_in_dim(q2, (cl, B, Ap), (1, 2))
+                    z = (qb * krc).reshape(cl * B, Ap)
+                    stc = jnp.dot(z, Mm,
+                                  preferred_element_type=jnp.float32)
+                    sts.append(stc.reshape(cl, B, H))
+                st3 = (jnp.concatenate(sts, axis=0) if len(sts) > 1
+                       else sts[0])                        # [L, B, H]
+                W3 = jnp.zeros((L, B, H), jnp.float32)
+                w_ins_all = None
+                for h in range(H):
+                    oneh = (lax.broadcasted_iota(jnp.int32, (1, 1, H), 2)
+                            == h)
+                    st = jnp.sum(jnp.where(oneh, st3, 0.0), axis=-1).T
+                    if ins is not None:
+                        sc_h = jnp.sum(jnp.where(oneh[0], sc_all, 0.0),
+                                       axis=-1, keepdims=True)
+                        st = jnp.where(cols == ins, sc_h, st)
+                    if lim is not None:
+                        st = jnp.where(cols <= lim, st, NEG)
+                    smax = jnp.max(st, axis=-1, keepdims=True)
+                    sexp = jnp.exp(st - smax)
+                    w_bl = sexp / jnp.sum(sexp, axis=-1, keepdims=True)
+                    if ins is not None:
+                        w_ins = jnp.sum(jnp.where(cols == ins, w_bl, 0.0),
+                                        axis=-1, keepdims=True)  # [B, 1]
+                        w_bl = jnp.where(cols == ins, 0.0, w_bl)
+                        w_ins_all = (w_ins if w_ins_all is None else
+                                     jnp.concatenate([w_ins_all, w_ins],
+                                                     axis=-1))
+                    W3 = W3 + jnp.where(oneh, w_bl.T[:, :, None], 0.0)
+                o = jnp.zeros((B, Ap), jnp.float32)
+                for c0 in range(0, L, CL):
+                    cl = min(CL, L - c0)
+                    vrc = vbuf[c0:c0 + cl].astype(jnp.float32)
+                    Wsel = jnp.dot(W3[c0:c0 + cl].reshape(cl * B, H), MmT,
+                                   preferred_element_type=jnp.float32)
+                    o = o + jnp.sum(Wsel.reshape(cl, B, Ap) * vrc, axis=0)
+                if ins is not None:
+                    w_field = jnp.dot(w_ins_all, MmT,
+                                      preferred_element_type=jnp.float32)
+                    o = o + w_field * vbf32
+                o = o.astype(x.dtype).astype(jnp.float32)
             else:
                 kd.wait()
                 vd.wait()
@@ -904,8 +983,11 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     ALLOCATED ring rows, a chunk multiple) — so the order-12 top schedules'
     flat special layers ride the kernel as single-layer segments.
     n_head > 1 requires only A % n_head == 0: lane-aligned head dims (1b
-    top hd=256) decode via slices, others (5b top hd=150) via full-width
-    masked-head ops. head_mode forces "sliced"/"masked" (tests).
+    top hd=256) decode via slices, others (5b top hd=150) via
+    head-membership matmuls (one full-width q·K pass contracted with the
+    static [Ap, H] membership matrix on the MXU, instead of H full-width
+    masked VPU passes). head_mode forces "sliced"/"masked"/"matmul"
+    ("masked" keeps the old per-head formulation; tests cover all three).
     """
     assert set(pat) <= {0, 1, 2, 3, 6, 7}, pat
     assert A % n_head == 0
@@ -927,6 +1009,10 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     hd = A // n_head
     sliced_heads = (hd % lane == 0 and A % lane == 0) \
         if head_mode == "auto" else head_mode == "sliced"
+    # multi-head with non-lane-aligned hd: head-membership matmuls beat the
+    # per-head full-width masked passes; "masked" forces the old formulation
+    matmul_heads = (not sliced_heads and n_head > 1
+                    and head_mode in ("auto", "matmul"))
     max_rows = max(blocks if f == 2 else enc_rows if f == 6
                    else prime_rows + 1 if f == 7
                    else 2 * f0_chunk if f == 0   # ping-pong chunk slots
@@ -935,8 +1021,8 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     Bp = _round_up(B, sublane)
     kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, Sp, Smp, bc,
                                blocks, G, Bp, res_scale, n_slots, quantized,
-                               tuple(pat), n_head, sliced_heads, enc_rows,
-                               prime_rows, f0_rows, f0_chunk)
+                               tuple(pat), n_head, sliced_heads, matmul_heads,
+                               enc_rows, prime_rows, f0_rows, f0_chunk)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     anym = pl.BlockSpec(memory_space=pltpu.ANY)

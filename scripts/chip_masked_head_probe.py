@@ -43,7 +43,7 @@ n_tok = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 # PROBE_S/PROBE_CTX shrink for CPU smoke runs.
 S = int(os.environ.get("PROBE_S", "4800"))
 n_ctx = int(os.environ.get("PROBE_CTX", "8192"))
-blocks, H = 128, 8
+blocks, H = 128, int(os.environ.get("PROBE_H", "8"))
 depth = 3 * G
 bc = n_ctx // blocks
 interpret = jax.devices()[0].platform == "cpu"
@@ -67,9 +67,10 @@ quant = bool(int(os.environ.get("PROBE_INT8", "0")))
 packed = _flatten_packed(pack_decode_params(
     jax.tree_util.tree_map(np.asarray, dec[0]), quantize=quant))
 packed = [jnp.asarray(p) for p in packed]
+head_mode = os.environ.get("PROBE_HEAD_MODE", "auto")
 mk = jax.jit(build_stack_decode(S, int(0.25 * S), int(1.0 * S), bc, blocks,
                                 G, B, n_head=H, quantized=quant,
-                                interpret=interpret))
+                                interpret=interpret, head_mode=head_mode))
 ref = jax.jit(lambda dp, c, x, t: tr.decode_step(dp, c, x, t, fp16=True,
                                                  fp16_out=True))
 
@@ -94,4 +95,31 @@ print(f"\nmax rel err {max(errs):.4f}; kernel steady "
       f"{1e3 * sum(steady)/len(steady):.2f} ms/token "
       f"(incl. per-token host readback)")
 assert max(errs) < 0.05, "masked-head kernel diverges from XLA decode"
+
+# scanned-segment rate: one readback per SEG tokens, so the tunnel
+# round-trip does not swamp the kernel time
+SEG = int(os.environ.get("PROBE_SEG", "64"))
+if SEG and not interpret:
+    def seg_fn(packed, c6, xs, t0):
+        def step(carry, inp):
+            c, = carry
+            x, tt = inp
+            y, c = mk(packed, c, x, tt)
+            return (c,), y[:, 0, 0]
+        (c6,), ys = jax.lax.scan(step, (c6,),
+                                 (xs, t0 + jnp.arange(SEG)))
+        return ys, c6
+    jseg = jax.jit(seg_fn, donate_argnums=(1,))
+    xs = jnp.asarray(0.5 * rng.randn(SEG, B, 1, S), jnp.bfloat16)
+    t0c = time.time()
+    ys, c6 = jseg(packed, c6, xs, jnp.int32(n_tok))
+    float(np.asarray(ys, np.float32).sum())
+    print(f"segment compile+first {time.time() - t0c:.1f}s")
+    for rep in range(2):
+        t0c = time.time()
+        ys, c6 = jseg(packed, c6, xs, jnp.int32(n_tok + SEG * (rep + 1)))
+        float(np.asarray(ys, np.float32).sum())   # full readback
+        dt = time.time() - t0c
+        print(f"scan rep{rep}: {1e3 * dt / SEG:.2f} ms/token "
+              f"({SEG * B / dt:.0f} tok/s)")
 print("OK")

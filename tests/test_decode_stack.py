@@ -67,6 +67,8 @@ def test_stack_decode_matches_xla_path(lane, res_scale):
     ("masked", 2),   # non-lane-aligned hd (the 5b top's hd=150 case)
     ("masked", 3),   # hd that doesn't divide the lane at all
     ("sliced", 2),   # the 1b top's lane-aligned-hd formulation
+    ("matmul", 2),   # head-membership-matmul path (5b top default)
+    ("matmul", 3),
 ])
 def test_stack_decode_multi_head_modes(head_mode, n_head):
     """Both head decompositions — lane-aligned slices and full-width masked
