@@ -51,6 +51,7 @@ hd=256) or full-width masked-head ops (the 5b top's hd=150).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -963,7 +964,7 @@ def _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
 
 @functools.lru_cache(maxsize=None)
 def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
-                       lane=128, n_slots=4, dtype=jnp.bfloat16,
+                       lane=128, n_slots=None, dtype=jnp.bfloat16,
                        quantized=False, pat=(1, 2, 3), n_head=1,
                        interpret=False, head_mode="auto", enc_rows=0,
                        sublane=8, prime_rows=0, f0_rows=0):
@@ -1000,6 +1001,10 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
             f"f0 caches must be chunk-padded: {f0_rows} vs {rows_pad}"
     else:
         f0_chunk = 0
+    if n_slots is None:
+        # pipeline depth of the weight-piece DMA queue (issued n_slots-1
+        # ahead); JUKEBOX_STACK_SLOTS overrides for A/B probes
+        n_slots = int(os.environ.get("JUKEBOX_STACK_SLOTS", "4"))
     P = len(pat)
     Ap = _round_up(A, lane)
     Sp = _round_up(S, lane)
