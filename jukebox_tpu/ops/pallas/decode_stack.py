@@ -1001,16 +1001,25 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
             f"f0 caches must be chunk-padded: {f0_rows} vs {rows_pad}"
     else:
         f0_chunk = 0
-    if n_slots is None:
-        # pipeline depth of the weight-piece DMA queue (issued n_slots-1
-        # ahead); JUKEBOX_STACK_SLOTS overrides for A/B probes
-        n_slots = int(os.environ.get("JUKEBOX_STACK_SLOTS", "4"))
     P = len(pat)
     Ap = _round_up(A, lane)
     Sp = _round_up(S, lane)
     Smp = _round_up(Sm, lane)
     PW = _piece_width2(Sp, Smp, lane)
     Smax = max(Sp, Smp, Ap)
+    if n_slots is None:
+        # Pipeline depth of the weight-piece DMA queue (issued n_slots-1
+        # ahead). 8 slots measure +6% int8 / +2% bf16 over 4 at 1b shapes
+        # (scripts/chip_stack_decode.py); fall back to 4 when the canvas
+        # would eat >40 MB of the 100 MB scoped-vmem budget (5b widths).
+        # JUKEBOX_STACK_SLOTS overrides for A/B probes.
+        env = os.environ.get("JUKEBOX_STACK_SLOTS")
+        if env is not None:
+            n_slots = int(env)
+        else:
+            bpe = 1 if quantized else jnp.dtype(dtype).itemsize
+            canvas8 = 8 * Smax * max(Ap, PW) * bpe
+            n_slots = 8 if canvas8 <= 40 * 1024 * 1024 else 4
     hd = A // n_head
     sliced_heads = (hd % lane == 0 and A % lane == 0) \
         if head_mode == "auto" else head_mode == "sliced"

@@ -59,10 +59,13 @@ tr = Transformer(n_in=S, n_ctx=n_ctx, n_head=1, n_depth=depth, attn_order=2,
 plan = tr.decode_plan
 assert len(plan) == 1 and plan[0][0] == "scan", plan
 p_seg_host = tr._segment_trees(per_layer, stack=np.stack)[0]
-packed_host = pack_decode_params(p_seg_host)
+INT8 = os.environ.get("PROBE_INT8", "0") == "1"
+packed_host = pack_decode_params(p_seg_host, quantize=INT8)
+if INT8:
+    print("megakernel path: int8 weight streaming")
 
 xs_np = (0.5 * rng.randn(max(N_TOK, 16), B, 1, S)).astype(np.float32)
-mk = build_stack_decode(S, A, S, bc, blocks, G, B)
+mk = build_stack_decode(S, A, S, bc, blocks, G, B, quantized=INT8)
 
 
 def seg_mk(packed_w, c6, xs, t0):
@@ -92,11 +95,12 @@ def steady_time(jit_fn, w, make_caches, label):
     xs = jnp.asarray(xs_np[:N_TOK], jnp.bfloat16)
     t0 = time.time()
     ys, c_out = jit_fn(w, make_caches(), xs, jnp.int32(0))
-    jax.block_until_ready(ys)
+    # full host readback: axon async readiness can fake block_until_ready
+    float(np.asarray(ys[:, 0, 0, 0], np.float32).sum())
     warm = time.time() - t0
     t0 = time.time()
     ys, c_out = jit_fn(w, c_out, xs, jnp.int32(N_TOK))
-    jax.block_until_ready(ys)
+    float(np.asarray(ys[:, 0, 0, 0], np.float32).sum())
     dt = time.time() - t0
     del c_out
     print(f"{label}: warm {warm:.1f}s, steady {dt:.2f}s / {N_TOK} steps "
