@@ -113,5 +113,6 @@ class DataProcessor:
               f"Test {len(self.test_dataset)} samples")
 
     def set_epoch(self, epoch):
+        self.dataset.set_epoch(epoch)
         self.train_loader.set_epoch(epoch)
         self.test_loader.set_epoch(epoch)

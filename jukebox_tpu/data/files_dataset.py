@@ -36,8 +36,17 @@ class FilesAudioDataset:
             f"shorter than min duration {self.min_duration}"
         self.aug_shift = hps.aug_shift
         self.labels = hps.labels
-        self._rng = np.random.RandomState(hps.get("seed", 0))
+        self.seed = int(hps.get("seed", 0))
+        self.epoch = 0
         self.init_dataset(hps)
+
+    def set_epoch(self, epoch):
+        """Advance the augmentation stream. aug_shift draws are seeded per
+        (seed, epoch, item), so the input stream is reproducible regardless
+        of loader thread scheduling — unlike the reference, whose per-worker
+        np.random draws depend on worker scheduling
+        (jukebox/data/files_dataset.py:52)."""
+        self.epoch = int(epoch)
 
     def filter(self, files, durations):
         keep = [i for i in range(len(files))
@@ -63,8 +72,12 @@ class FilesAudioDataset:
         """Map item -> (song index, offset in song), centring aug shifts and
         clamping to song boundaries (files_dataset.py:49-65)."""
         half_interval = self.sample_length // 2
-        shift = (self._rng.randint(-half_interval, half_interval)
-                 if self.aug_shift else 0)
+        if self.aug_shift:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch, int(item)]))
+            shift = int(rng.integers(-half_interval, half_interval))
+        else:
+            shift = 0
         offset = item * self.sample_length + shift
         midpoint = offset + half_interval
         assert 0 <= midpoint < self.cumsum[-1]
