@@ -104,11 +104,17 @@ int64_t jav_read_window(const char* path, int64_t offset, int64_t n,
   }
 
   // Initial-padding ("skip samples") probe: lossy codecs trim the first N
-  // decoded samples at stream start (mp3: LAME 576+529). The demuxer
-  // communicates this as side data on the first packet and pts timelines
-  // do NOT reflect it — a frame with pts P holds media samples starting at
-  // P*tb - skip/native_sr. Without this, pts-based trimming after a
-  // mid-stream seek lands a constant `skip` samples late.
+  // decoded samples at stream start (mp3: LAME 576+529; aac: 1024; opus:
+  // pre-skip). The demuxer communicates this as side data on the first
+  // packet, but containers disagree on whether pts already reflects it:
+  //   * mp3-style: first packet pts = 0, timeline INCLUDES the priming —
+  //     a frame with pts P holds media samples from P*tb - skip/sr;
+  //   * mov/ogg-style: first packet pts = -skip (edit-list/pre-skip
+  //     timeline), so media sample 0 already sits at pts 0 and no
+  //     correction is needed.
+  // Folding a negative first-packet pts into the skip handles both; the
+  // decoder itself discards the side-data samples and bumps the trimmed
+  // frame's pts forward, so the frame_sec formula below is uniform.
   double skip_sec = 0.0;
   {
     AVPacket* p0 = av_packet_alloc();
@@ -120,6 +126,19 @@ int64_t jav_read_window(const char* path, int64_t offset, int64_t n,
         if (sd && sd_size >= 4 && d.dec->sample_rate > 0) {
           uint32_t skip = sd[0] | sd[1] << 8 | sd[2] << 16 | (uint32_t)sd[3] << 24;
           skip_sec = (double)skip / d.dec->sample_rate;
+        }
+        if (p0->pts != AV_NOPTS_VALUE && p0->pts < 0)
+          skip_sec += p0->pts * av_q2d(st->time_base);
+        if (skip_sec < 0.0) skip_sec = 0.0;
+        if (!sd && d.dec->codec_id == AV_CODEC_ID_AAC &&
+            d.fmt->iformat && d.fmt->iformat->name &&
+            strcmp(d.fmt->iformat->name, "aac") == 0 &&
+            d.dec->sample_rate > 0) {
+          // Raw ADTS carries no priming metadata; AAC-LC encoders emit a
+          // standard 1024-sample delay. Assume it (PyAV/ffmpeg leave the
+          // stream shifted instead). Seek stays bitrate-estimated — ADTS
+          // windows are approximate by nature.
+          skip_sec = 1024.0 / d.dec->sample_rate;
         }
         av_packet_unref(p0);
         break;

@@ -159,7 +159,11 @@ def test_fuzz_data_truncated_zero_fills(tmp_path, wav_file):
     assert (w[:, keep_frames + 4:] == 0).all()
 
 
-# --- real compressed-audio decode (needs an ffmpeg binary) -------------------
+# --- ffmpeg-CLI fallback decode path ------------------------------------------
+# Real-bytes compressed round-trips live in tests/test_avio.py (native
+# libav loader). This covers the third load_audio route —
+# _load_ffmpeg_window, used on deployments with an ffmpeg binary but
+# neither the native .so nor PyAV — with a fixture encoded by avio.
 
 def _real_ffmpeg():
     import shutil
@@ -167,17 +171,17 @@ def _real_ffmpeg():
 
 
 @pytest.mark.skipif(not _real_ffmpeg(), reason=(
-    "no ffmpeg binary in this zero-egress image; on a deployment with "
-    "ffmpeg this encodes an mp3 fixture and decodes it through "
-    "_load_ffmpeg_window (reference io.py:20-57 parity)"))
-def test_real_mp3_roundtrip(tmp_path, wav_file):
-    import subprocess
+    "no ffmpeg binary in this zero-egress image; the native-loader mp3 "
+    "round-trip in tests/test_avio.py covers the decode contract here"))
+def test_ffmpeg_cli_fallback_mp3(tmp_path, wav_file, monkeypatch):
+    from jukebox_tpu.utils import avio, io as jio
 
     path, sig = wav_file
     mp3 = str(tmp_path / "clip.mp3")
-    subprocess.run(["ffmpeg", "-v", "error", "-i", path, "-b:a", "192k", mp3],
-                   check=True)
-    x, sr = load_audio(mp3, sr=8000, offset=0, duration=4096)
+    assert avio.encode(mp3, sig.T, 8000)
+    monkeypatch.setattr(jio, "_have_native_av", lambda: False)
+    monkeypatch.setattr(jio, "_have_av", lambda: False)
+    x, sr = jio.load_audio(mp3, sr=8000, offset=0, duration=4096)
     assert sr == 8000 and x.shape == (2, 4096)
     # lossy codec + encoder delay: align by cross-correlation, then demand
     # high correlation with the source
