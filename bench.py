@@ -438,6 +438,10 @@ def main():
         f"(bs {n_samples}); compile total {compile_total:.1f}s "
         f"(excluded from throughput). notes: {notes or 'all phases measured'}")
 
+    notes.append("value is extrapolated from measured steady-state windows "
+                 "through the exact window schedule; compile_s is excluded. "
+                 "BENCH_FULL_CASCADE=1 records a measured end-to-end "
+                 "wall-clock under full_cascade.")
     details.update(cascade_s=round(t_total, 1), audio_sec=audio_sec,
                    compile_s=round(compile_total, 1), notes=notes,
                    value=round(value, 3))
