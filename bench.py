@@ -180,6 +180,7 @@ def main():
         raise RuntimeError("bench must run on TPU (set BENCH_ALLOW_CPU=1 to override)")
 
     os.environ.setdefault("JUKEBOX_INIT_CACHE", "1")
+    os.environ.setdefault("JUKEBOX_STAGE_CACHE", "1")
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "16"))
     model = os.environ.get("BENCH_MODEL", "1b_lyrics")
     phases = os.environ.get("BENCH_PHASES", "top,up_anc,up_primed").split(",")

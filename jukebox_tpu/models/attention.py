@@ -635,18 +635,39 @@ class FactoredAttention:
           f3 [G, 2, bc, B, Ap]   f6 [G, enc, B, Ap] (read-only)
         Chunk K/V transpose before the write (a few MB); cache READS stay
         in the slot-leading layout via _slot_leading_attn — XLA folds the
-        layout into the dots, so no multi-GB transposed copy is created."""
+        layout into the dots, so no multi-GB transposed copy is created.
+
+        int8 caches (the dict carries "ks"/"vs" per-row scale buffers,
+        [..., B, SCALE_LANES] bf16 with the value in lane 0): writes
+        quantise rows in place, reads dequantise the slice being attended —
+        the full cache never exists in bf16, so the int8 capacity win holds
+        through the prefill too."""
         f = self.attn_func
         assert g is not None, "kernel_cache prefill is group-scanned"
+        quant = "ks" in cache
         Ap = cache["k"].shape[-1]
         Bc = cache["k"].shape[-2]  # may carry Mosaic sublane batch padding
         Bx = x.shape[0]
 
+        def dq(c, s, dtype):
+            """Dequantise an int8 cache slice with its [..., B, lanes]
+            scale rows (lane 0 holds the value)."""
+            return (c.astype(jnp.float32)
+                    * s[..., :1].astype(jnp.float32)).astype(dtype)
+
+        def view(key, gg, b, a):
+            """Group view of cache[key], dequantised when int8."""
+            c = self._group_view(cache[key], gg)[..., :b, :a]
+            if not quant:
+                return c
+            s = self._group_view(cache[key[0] + "s"], gg)[..., :b, :]
+            return dq(c, s, x.dtype)
+
         if f == 6:
             q = dense(params["c_attn"], x)
             A = q.shape[-1]
-            kg = self._group_view(cache["k"], g)[..., :Bx, :A]
-            vg = self._group_view(cache["v"], g)[..., :Bx, :A]
+            kg = view("k", g, Bx, A)
+            vg = view("v", g, Bx, A)
             a = _slot_leading_attn(q, kg, vg, self.n_head, None)
             return dense(params["c_proj"], a), cache
 
@@ -656,11 +677,36 @@ class FactoredAttention:
 
         def padA(t):  # [..., B, S] -> [..., Bc, Ap] (lane + sublane pads)
             widths = [(0, 0)] * t.ndim
-            widths[-1] = (0, Ap - S)
+            widths[-1] = (0, Ap - t.shape[-1])
             widths[-2] = (0, Bc - B)
-            if Ap == S and Bc == B:
+            if t.shape[-1] == Ap and Bc == B:
                 return t
             return jnp.pad(t, widths)
+
+        from jukebox_tpu.ops.pallas.decode_stack import SCALE_LANES
+
+        def store(traw):
+            """Transposed pre-pad rows [..., B, S] -> padded buffer values
+            for the cache write: (k-or-v buffer, scale buffer or None)."""
+            if not quant:
+                return padA(traw), None
+            tf = traw.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(tf), axis=-1, keepdims=True)
+                            / 127.0, 1e-8)
+            qv = jnp.clip(jnp.round(tf / s), -127.0, 127.0).astype(jnp.int8)
+            widths = [(0, 0)] * s.ndim
+            widths[-1] = (0, SCALE_LANES - 1)
+            widths[-2] = (0, Bc - B)
+            return padA(qv), jnp.pad(s.astype(jnp.bfloat16), widths)
+
+        def put(cc, key, traw, starts, gg):
+            """Write transposed rows (quantising when int8) at starts."""
+            val, sval = store(traw)
+            cc = dict(cc)
+            cc[key] = self._dus(cc[key], val, starts, gg)
+            if sval is not None:
+                cc[key + "s"] = self._dus(cc[key + "s"], sval, starts, gg)
+            return cc
 
         if f == 1:
             assert C == n_blocks * bc
@@ -671,25 +717,25 @@ class FactoredAttention:
                               self.n_head, mask)
             a = a.reshape(B, C, S)
             # only the final block's K/V matters: [B, bc, S] -> [bc, B, Ap]
-            kT = padA(jnp.transpose(k[:, -bc:], (1, 0, 2)))
-            vT = padA(jnp.transpose(v[:, -bc:], (1, 0, 2)))
-            cache = {"k": self._dus(cache["k"], kT, (0, 0, 0), g),
-                     "v": self._dus(cache["v"], vT, (0, 0, 0), g)}
+            cache = put(cache, "k", jnp.transpose(k[:, -bc:], (1, 0, 2)),
+                        (0, 0, 0), g)
+            cache = put(cache, "v", jnp.transpose(v[:, -bc:], (1, 0, 2)),
+                        (0, 0, 0), g)
         elif f == 2:
             assert C == n_blocks * bc
             b0 = t0 // bc
             # chunk columns [B, nb, bc, S] -> [bc, nb, B, Ap], write at b0
-            kT = padA(jnp.transpose(k.reshape(B, n_blocks, bc, S),
-                                    (2, 1, 0, 3)))
-            vT = padA(jnp.transpose(v.reshape(B, n_blocks, bc, S),
-                                    (2, 1, 0, 3)))
-            cache = {"k": self._dus(cache["k"], kT, (0, b0, 0, 0), g),
-                     "v": self._dus(cache["v"], vT, (0, b0, 0, 0), g)}
+            cache = put(cache, "k",
+                        jnp.transpose(k.reshape(B, n_blocks, bc, S),
+                                      (2, 1, 0, 3)), (0, b0, 0, 0), g)
+            cache = put(cache, "v",
+                        jnp.transpose(v.reshape(B, n_blocks, bc, S),
+                                      (2, 1, 0, 3)), (0, b0, 0, 0), g)
             # query (local block j, column c) attends cache[c, :b0+j+1]:
             # batch the bc columns through the head axis of
             # _slot_leading_attn? No — fold c into the batch dim instead.
-            kg = self._group_view(cache["k"], g)[..., :B, :S]
-            vg = self._group_view(cache["v"], g)[..., :B, :S]
+            kg = view("k", g, B, S)
+            vg = view("v", g, B, S)
             qc = jnp.transpose(q.reshape(B, n_blocks, bc, S), (0, 2, 1, 3))
             hd = S // self.n_head
             scale = jnp.asarray(1.0 / math.sqrt(math.sqrt(hd)), q.dtype)
@@ -714,12 +760,19 @@ class FactoredAttention:
             b0 = t0 // bc
             prev_ring = (b0 - 1) % 2
             # previous block from the ring: [bc, B, Ap] -> [B, bc, S]
-            pk = self._dsl(cache["k"], (prev_ring, 0, 0, 0),
-                           (1, bc, cache["k"].shape[3], Ap), g)[0]
-            pv = self._dsl(cache["v"], (prev_ring, 0, 0, 0),
-                           (1, bc, cache["v"].shape[3], Ap), g)[0]
-            prev_k = jnp.transpose(pk[:, :B, :S], (1, 0, 2))
-            prev_v = jnp.transpose(pv[:, :B, :S], (1, 0, 2))
+            B3 = cache["k"].shape[3]
+
+            def prev(key):
+                p = self._dsl(cache[key], (prev_ring, 0, 0, 0),
+                              (1, bc, B3, Ap), g)[0]
+                if quant:
+                    s = self._dsl(cache[key + "s"], (prev_ring, 0, 0, 0),
+                                  (1, bc, B3, cache[key + "s"].shape[-1]),
+                                  g)[0]
+                    p = dq(p, s, x.dtype)
+                return jnp.transpose(p[:, :B, :S], (1, 0, 2))
+
+            prev_k, prev_v = prev("k"), prev("v")
             kb = k.reshape(B, n_blocks, bc, S)
             vb = v.reshape(B, n_blocks, bc, S)
             k_shift = jnp.concatenate([prev_k[:, None], kb[:, :-1]], axis=1)
@@ -731,46 +784,61 @@ class FactoredAttention:
             a = a.reshape(B, C, S)
             # maintain the double buffer: the chunk's last two blocks
             last_ring = (b0 + n_blocks - 1) % 2
-            kT = padA(jnp.transpose(kb[:, -1], (1, 0, 2)))[None]
-            vT = padA(jnp.transpose(vb[:, -1], (1, 0, 2)))[None]
-            cache = {"k": self._dus(cache["k"], kT, (last_ring, 0, 0, 0), g),
-                     "v": self._dus(cache["v"], vT, (last_ring, 0, 0, 0), g)}
+            cache = put(cache, "k",
+                        jnp.transpose(kb[:, -1], (1, 0, 2))[None],
+                        (last_ring, 0, 0, 0), g)
+            cache = put(cache, "v",
+                        jnp.transpose(vb[:, -1], (1, 0, 2))[None],
+                        (last_ring, 0, 0, 0), g)
             if n_blocks >= 2:
                 other = (b0 + n_blocks - 2) % 2
-                kT2 = padA(jnp.transpose(kb[:, -2], (1, 0, 2)))[None]
-                vT2 = padA(jnp.transpose(vb[:, -2], (1, 0, 2)))[None]
-                cache = {"k": self._dus(cache["k"], kT2, (other, 0, 0, 0), g),
-                         "v": self._dus(cache["v"], vT2, (other, 0, 0, 0), g)}
+                cache = put(cache, "k",
+                            jnp.transpose(kb[:, -2], (1, 0, 2))[None],
+                            (other, 0, 0, 0), g)
+                cache = put(cache, "v",
+                            jnp.transpose(vb[:, -2], (1, 0, 2))[None],
+                            (other, 0, 0, 0), g)
         elif f == 7:
             # prime cache [G, _prime_len + 1, Bc, Ap]: rows < _prime_len are
             # the lyric prefix, the last row is the gen-phase garbage slot
             pl_ = self._prime_len
             pos = t0 + jnp.arange(C)
             idx = jnp.where(pos < pl_, pos, pl_)   # overflow -> garbage row
-            kT = padA(jnp.transpose(k, (1, 0, 2)))  # [C, Bc, Ap]
-            vT = padA(jnp.transpose(v, (1, 0, 2)))
-            kg = self._group_view(cache["k"], g).at[idx].set(kT)
-            vg = self._group_view(cache["v"], g).at[idx].set(vT)
-            cache = {"k": self._dus(cache["k"], kg, (0, 0, 0), g),
-                     "v": self._dus(cache["v"], vg, (0, 0, 0), g)}
+
+            def set_rows(key, traw):
+                # scatter the chunk's rows at idx into group g's view (and
+                # their scale rows when int8); returns the dequantised
+                # updated view for the attention read
+                val, sval = store(jnp.transpose(traw, (1, 0, 2)))
+                gv = self._group_view(cache[key], g).at[idx].set(val)
+                upd = {key: self._dus(cache[key], gv, (0, 0, 0), g)}
+                if sval is None:
+                    return gv, upd
+                gs = self._group_view(cache[key + "s"], g).at[idx].set(sval)
+                upd[key + "s"] = self._dus(cache[key + "s"], gs,
+                                           (0, 0, 0), g)
+                return dq(gv, gs, x.dtype), upd
+
+            kg, k_upd = set_rows("k", k)
+            vg, v_upd = set_rows("v", v)
+            cache = {**cache, **k_upd, **v_upd}
             mask = (jnp.arange(pl_)[None, :]
                     <= jnp.minimum(pos, pl_ - 1)[:, None]).astype(jnp.float32)
             a = _slot_leading_attn(q, kg[:pl_, :B, :S], vg[:pl_, :B, :S],
                                    self.n_head, mask)
         elif f == 0:
             # full-context ring [G, rows(chunk-padded), Bc, Ap]
-            kT = padA(jnp.transpose(k, (1, 0, 2)))  # [C, Bc, Ap]
-            vT = padA(jnp.transpose(v, (1, 0, 2)))
-            cache = {"k": self._dus(cache["k"], kT, (t0, 0, 0), g),
-                     "v": self._dus(cache["v"], vT, (t0, 0, 0), g)}
-            kg = self._group_view(cache["k"], g)
-            vg = self._group_view(cache["v"], g)
-            rows = kg.shape[0]
+            cache = put(cache, "k", jnp.transpose(k, (1, 0, 2)),
+                        (t0, 0, 0), g)
+            cache = put(cache, "v", jnp.transpose(v, (1, 0, 2)),
+                        (t0, 0, 0), g)
+            rows = cache["k"].shape[1]  # g is asserted non-None above
+            kg = view("k", g, B, S)
+            vg = view("v", g, B, S)
             pos = t0 + jnp.arange(C)
             mask = (jnp.arange(rows)[None, :]
                     <= pos[:, None]).astype(jnp.float32)
-            a = _slot_leading_attn(q, kg[:, :B, :S], vg[:, :B, :S],
-                                   self.n_head, mask)
+            a = _slot_leading_attn(q, kg, vg, self.n_head, mask)
         else:
             raise NotImplementedError(f"attn_func {f} kernel-cache prefill")
 

@@ -58,6 +58,39 @@ def _cached_init(model, seed_key, seed):
     return params
 
 
+def enable_warm_start(cache_dir=None):
+    """Turn on every cross-run warm-start cache: the XLA persistent compile
+    cache (megakernel + segment graphs recompile in ~0 s on the second run
+    vs 83-955 s cold), the eager-init disk cache and the packed-weight
+    staging cache. Called by the sample/train CLI entry points and bench.py
+    so the end-to-end wall-clock a user sees pays one-time costs once per
+    machine, not once per run."""
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/jukebox_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(cache_dir, "xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    os.environ.setdefault("JUKEBOX_INIT_CACHE", "1")
+    os.environ.setdefault("JUKEBOX_STAGE_CACHE", "1")
+    return cache_dir
+
+
+def _params_digest(host_tree):
+    """Cheap content key for staging caches: shapes/dtypes of every leaf +
+    a strided 4096-element subsample of its bytes (hashing 5 GB in full
+    would cost ~10 s; the subsample is collision-proof against everything
+    but adversarial edits)."""
+    import hashlib
+    h = hashlib.sha1()
+    for leaf in jax.tree_util.tree_leaves(host_tree):
+        a = np.asarray(leaf)
+        h.update(str((a.shape, str(a.dtype))).encode())
+        flat = a.reshape(-1)
+        h.update(np.ascontiguousarray(
+            flat[::max(1, flat.size // 4096)]).tobytes())
+    return h.hexdigest()[:16]
+
+
 def default_segment_tokens():
     """Decode-segment length for PriorRuntime.sample. The axon transport
     (remote-tunnelled TPU) faults on executions beyond ~1 minute, so decoding
@@ -294,30 +327,66 @@ class PriorRuntime:
         n_state split, so per-chip weight AND cache HBM divide by mp."""
         if quantize is None and os.environ.get("JUKEBOX_INT8_DECODE"):
             quantize = "int8"
+        # int8 ring caches follow the weight quantization by default
+        # (JUKEBOX_INT8_CACHE=1/0 overrides); part of the mode key so an
+        # env flip re-stages instead of silently reusing the old form
+        cache_int8 = os.environ.get("JUKEBOX_INT8_CACHE")
         if (self._staged_dec is not None
-                and getattr(self, "_staged_mode", None) == (quantize, mesh)):
+                and getattr(self, "_staged_mode", None)
+                == (quantize, mesh, cache_int8)):
             return  # already staged in this form (e.g. re-entering _sample)
-        self._staged_mode = (quantize, mesh)
+        self._staged_mode = (quantize, mesh, cache_int8)
         host = jax.tree_util.tree_map(np.asarray, self.params)
-        tr = host["prior"]["transformer"]
-        dec = self.model.prior.transformer.prepare_decode_params(
-            tr, stack=np.stack)
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown decode quantization {quantize!r}")
         stack_default = "1" if jax.devices()[0].platform == "tpu" else "0"
-        if (mesh is None and os.environ.get("JUKEBOX_STACK_KERNEL",
-                                            stack_default) != "0"):
-            # [1,2,3]-cycle segments decode through the whole-stack Pallas
-            # megakernel (ops/pallas/decode_stack): weights staged in its
-            # chunk-major layout (+42% decode over the XLA scan on-chip;
-            # int8 packing additionally halves the weight stream)
-            dec = self.model.prior.transformer.pack_stack_segments(
-                dec, quantize=quantize == "int8")
-        if quantize == "int8":
-            # remaining (non-packed) segments: weight-only int8 dense form;
-            # quantize_dense_tree leaves the packed dicts untouched
-            from jukebox_tpu.ops.core import quantize_dense_tree
-            dec = quantize_dense_tree(dec)
+        stack_on = (mesh is None
+                    and os.environ.get("JUKEBOX_STACK_KERNEL",
+                                       stack_default) != "0")
+
+        # packed-weight disk cache: the host-side stacking + chunk-major
+        # packing + int8 quantization of a 5B-param prior costs minutes of
+        # numpy per process; repeated runs load the packed form instead
+        # (JUKEBOX_STAGE_CACHE=0 disables). The tunnel host->HBM transfer
+        # still happens once per process — that part is physics.
+        cache_path = None
+        dec = None
+        if mesh is None and os.environ.get("JUKEBOX_STAGE_CACHE") == "1":
+            import pickle
+            key = _params_digest(host["prior"]["transformer"])
+            mode = f"{quantize}_{int(stack_on)}_{cache_int8}"
+            cdir = os.path.expanduser("~/.cache/jukebox_tpu")
+            cache_path = os.path.join(cdir, f"stage_{key}_{mode}.pkl")
+            if os.path.exists(cache_path):
+                with open(cache_path, "rb") as f:
+                    dec = pickle.load(f)
+        if dec is None:
+            tr = host["prior"]["transformer"]
+            dec = self.model.prior.transformer.prepare_decode_params(
+                tr, stack=np.stack)
+            if stack_on:
+                # [1,2,3]-cycle segments decode through the whole-stack
+                # Pallas megakernel (ops/pallas/decode_stack): weights staged
+                # in its chunk-major layout (+42% decode over the XLA scan
+                # on-chip; int8 packing additionally halves the weight
+                # stream)
+                dec = self.model.prior.transformer.pack_stack_segments(
+                    dec, quantize=quantize == "int8")
+            if quantize == "int8":
+                # remaining (non-packed) segments: weight-only int8 dense
+                # form; quantize_dense_tree leaves the packed dicts untouched
+                from jukebox_tpu.ops.core import quantize_dense_tree
+                dec = quantize_dense_tree(dec)
+            if cache_path is not None:
+                import pickle
+                try:
+                    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+                    with open(cache_path + ".tmp", "wb") as f:
+                        pickle.dump(jax.tree_util.tree_map(np.asarray, dec),
+                                    f, protocol=4)
+                    os.replace(cache_path + ".tmp", cache_path)
+                except OSError:
+                    pass
         light = dict(host)
         light["prior"] = {k: v for k, v in host["prior"].items()
                           if k != "transformer"}

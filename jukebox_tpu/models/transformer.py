@@ -11,6 +11,7 @@ Three modes mirroring FactoredAttention: full-context `apply`, one-token
 per-layer ring caches.
 """
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -475,9 +476,21 @@ class Transformer:
             return (self._flat_stack_func(seg[1]),)
         return tuple(seg[1])
 
+    @staticmethod
+    def _cache_int8(p_seg, pat):
+        """int8 ring caches for a packed segment? Defaults to following the
+        weight quantization (the int8 serving mode halves BOTH HBM streams);
+        JUKEBOX_INT8_CACHE=1/0 forces it on/off independently."""
+        env = os.environ.get("JUKEBOX_INT8_CACHE")
+        if env is not None:
+            return env != "0"
+        from jukebox_tpu.ops.pallas.decode_stack import _pack_keys
+        return len(p_seg["stack_packed"]) == len(pat) * len(_pack_keys(True))
+
     def pack_segment_caches(self, dec_params, caches):
         """Standard-layout caches -> kernel layout for packed segments (the
-        one-per-window prefill->decode boundary conversion). bf16 only."""
+        one-per-window prefill->decode boundary conversion). bf16 only;
+        int8 ring caches (_cache_int8) quantize during the conversion."""
         from jukebox_tpu.ops.pallas.decode_stack import pack_caches
         out = []
         for seg, p_seg, c_seg in zip(self.decode_plan, dec_params, caches):
@@ -485,19 +498,20 @@ class Transformer:
                 out.append(c_seg)
                 continue
             pat = self._packed_pat(seg, p_seg)
+            quant = self._cache_int8(p_seg, pat)
             already = (isinstance(c_seg, tuple) and c_seg
                        and not isinstance(c_seg[0], dict)
-                       and len(c_seg) == 2 * len(pat))
+                       and len(c_seg) in (2 * len(pat), 4 * len(pat)))
             if already:
                 out.append(c_seg)
             elif seg[0] == "flat":
                 # standard flat cache {"k","v"} [B, ...] -> one-group stack
                 c1 = jax.tree_util.tree_map(lambda x: x[None], c_seg)
                 out.append(pack_caches((c1,), self.n_ctx // self.blocks,
-                                       pat=pat))
+                                       pat=pat, quantize=quant))
             else:
                 out.append(pack_caches(c_seg, self.n_ctx // self.blocks,
-                                       pat=pat))
+                                       pat=pat, quantize=quant))
         return out
 
     def has_packed_segments(self, dec_params):
@@ -594,7 +608,9 @@ class Transformer:
                     # prefill->decode conversion transient (whose source +
                     # target peak capped hop batch sizes)
                     from jukebox_tpu.ops.pallas.decode_stack import (
-                        _f0_geom, _round_up, pack_caches)
+                        SCALE_LANES, _f0_geom, _round_up, pack_caches)
+                    quant = self._cache_int8(p_seg, pat)
+                    cdtype = jnp.int8 if quant else dtype
                     bc = self.n_ctx // self.blocks
                     A = int(self.m_attn * self.n_in)
                     Ap = _round_up(A, 128)
@@ -617,10 +633,15 @@ class Transformer:
                                 {"c_enc_kv": pj}, bs, dtype,
                                 encoder_kv=encoder_kv,
                                 sample_ctx=sample_ctx))(proj)
-                            flat6 += list(pack_caches((std,), bc, pat=(6,)))
+                            flat6 += list(pack_caches((std,), bc, pat=(6,),
+                                                      quantize=quant))
                         else:
-                            flat6 += [jnp.zeros(shp[f], dtype),
-                                      jnp.zeros(shp[f], dtype)]
+                            flat6 += [jnp.zeros(shp[f], cdtype),
+                                      jnp.zeros(shp[f], cdtype)]
+                            if quant:
+                                sshp = shp[f][:-1] + (SCALE_LANES,)
+                                flat6 += [jnp.zeros(sshp, jnp.bfloat16),
+                                          jnp.zeros(sshp, jnp.bfloat16)]
                     out.append(tuple(flat6))
                     continue
                 # fp32 path: standard layout (XLA recon decode, no kernel)
@@ -699,7 +720,10 @@ class Transformer:
                 n_groups = 1 if seg[0] == "flat" else len(seg[2])
                 kernel_caches = (isinstance(c_seg, tuple) and c_seg
                                  and not isinstance(c_seg[0], dict)
-                                 and len(c_seg) == 2 * len(pat_t))
+                                 and len(c_seg) in (2 * len(pat_t),
+                                                    4 * len(pat_t)))
+                cache_q = (kernel_caches and len(c_seg) == 4 * len(pat_t)
+                           and c_seg[0].dtype == jnp.int8)
                 if method == "decode_step" and kernel_caches:
                     # whole-segment megakernel: one launch per token
                     from jukebox_tpu.ops.pallas.decode_stack import (
@@ -710,22 +734,24 @@ class Transformer:
                     A = int(self.m_attn * S)
                     G = flat[0].shape[0]
                     cfg1 = self.block_cfg_f(1)
+                    stride = 4 if cache_q else 2
                     enc_rows = prime_rows = f0_rows = 0
                     if 6 in pat_t:
                         # read-only enc cache [G, enc_rows, B, Ap]
-                        enc_rows = c_seg[2 * pat_t.index(6)].shape[1]
+                        enc_rows = c_seg[stride * pat_t.index(6)].shape[1]
                     if 7 in pat_t:
                         # [G, prime_rows + 1, B, Ap] (garbage row included)
-                        prime_rows = c_seg[2 * pat_t.index(7)].shape[1] - 1
+                        prime_rows = c_seg[stride * pat_t.index(7)].shape[1] - 1
                     if 0 in pat_t:
                         # [G, f0_rows, B, Ap] (already chunk-padded)
-                        f0_rows = c_seg[2 * pat_t.index(0)].shape[1]
+                        f0_rows = c_seg[stride * pat_t.index(0)].shape[1]
                     mk = build_stack_decode(
                         S, A, int(self.m_mlp * S), self.n_ctx // self.blocks,
                         self.blocks, G, x.shape[0],
                         res_scale=cfg1.res_scale,
                         quantized=len(flat) == len(pat_t)
                         * len(_pack_keys(True)),
+                        cache_quantized=cache_q,
                         pat=pat_t, n_head=self.n_head, enc_rows=enc_rows,
                         prime_rows=prime_rows, f0_rows=f0_rows,
                         interpret=jax.devices()[0].platform == "cpu")
@@ -738,8 +764,13 @@ class Transformer:
                     # viewed as per-position dicts for the scan carry)
                     if kernel_caches:
                         assert method == "prefill_chunk", method
-                        gc0 = tuple({"k": c_seg[2 * j], "v": c_seg[2 * j + 1]}
-                                    for j in range(len(pat_t)))
+                        ckeys = ("k", "v", "ks", "vs") if cache_q \
+                            else ("k", "v")
+                        st = len(ckeys)
+                        gc0 = tuple(
+                            {key: c_seg[st * j + i]
+                             for i, key in enumerate(ckeys)}
+                            for j in range(len(pat_t)))
                     else:
                         gc0 = tuple(c_seg)
 
@@ -760,7 +791,7 @@ class Transformer:
                         body, (x, gc0),
                         (flat, jnp.arange(n_groups)))
                     if kernel_caches:
-                        nc = tuple(c[key] for c in nc for key in ("k", "v"))
+                        nc = tuple(c[key] for c in nc for key in ckeys)
                 new_caches.append(nc)
                 continue
             if seg[0] == "flat":

@@ -230,24 +230,36 @@ def _flatten_packed(packed):
 # Cache layout conversion (standard [G, B, slots, A] <-> kernel layout)
 # ---------------------------------------------------------------------------
 
+SCALE_LANES = 128  # lane-tile row width of the int8-cache scale buffers
+
+
 def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp,
-                sublane=8):
+                sublane=8, quantize=False):
     """Standard group-stacked caches (tuple of len(pat) {"k","v"} trees from
     init_cache_from_segments, in pattern-position order) -> kernel
     slot-leading lane-padded 2*len(pat)-tuple (k_pat0, v_pat0, k_pat1, ...).
     f6 entries ([G, B, enc_len, A] projected encoder K/V) become read-only
-    [G, enc_len, B, Ap] buffers."""
+    [G, enc_len, B, Ap] buffers.
+
+    quantize=True stores each K/V row as symmetric per-(slot, batch) int8
+    (absmax over A / 127) with the scale in a parallel [..., B, SCALE_LANES]
+    bf16 buffer (lane 0 holds the value; the kernel's writes broadcast it
+    across the row and its reads lane-reduce, so both layouts agree). The
+    output becomes a 4*len(pat)-tuple (k, v, k_scale, v_scale per position)
+    — HALVES the dominant ring-cache HBM bytes and read bandwidth."""
     A = c_seg[0]["k"].shape[-1]
     Ap = _round_up(A, lane)
 
-    def padA(x):
-        if Ap == A:
+    def padA(x, a=None, ap=None):
+        a = A if a is None else a
+        ap = Ap if ap is None else ap
+        if ap == a:
             return x
-        cfg = [(0, 0, 0)] * (x.ndim - 1) + [(0, Ap - A, 0)]
+        cfg = [(0, 0, 0)] * (x.ndim - 1) + [(0, ap - a, 0)]
         if xp is jnp:
             return lax.pad(x, xp.asarray(0, x.dtype), cfg)
         return np.concatenate(
-            [x, np.zeros(x.shape[:-1] + (Ap - A,), x.dtype)], axis=-1)
+            [x, np.zeros(x.shape[:-1] + (ap - a,), x.dtype)], axis=-1)
 
     B = c_seg[0]["k"].shape[1]
     Bp = _round_up(B, sublane)
@@ -275,7 +287,7 @@ def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp,
             return lax.pad(x, xp.asarray(0, x.dtype), cfg)
         return np.pad(x, [(w0, w1) for w0, w1, _ in cfg])
 
-    def convert(f, c, after):
+    def convert(f, c, after, scale=False):
         # serialize conversions: each transpose materialises a full copy,
         # so letting XLA overlap all of them doubles the cache HBM (the f2
         # pair alone is 9 GB at 1b bs=24). The barrier makes conversion i
@@ -283,10 +295,11 @@ def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp,
         # before the next copy allocates: peak = all sources + ONE target.
         if xp is jnp and after is not None:
             c, _ = lax.optimization_barrier((c, after))
+        pA = (lambda x: padA(x, 1, SCALE_LANES)) if scale else padA
         if f == 2:               # [G,B,bc,bl,A] -> [G,bc,bl,Bp,Ap]
-            c = padB(padA(xp.transpose(c, (0, 2, 3, 1, 4))))
+            c = padB(pA(xp.transpose(c, (0, 2, 3, 1, 4))))
         else:                    # [G,B,slots,A] -> [G,slots,Bp,Ap]
-            c = padB(padA(xp.transpose(c, (0, 2, 1, 3))))
+            c = padB(pA(xp.transpose(c, (0, 2, 1, 3))))
             if f == 3:           # [G,2bc,Bp,Ap] -> [G,2,bc,Bp,Ap]
                 c = c.reshape(c.shape[0], 2, bc, *c.shape[2:])
             elif f == 7:         # + one garbage row for gen-phase writes
@@ -295,29 +308,49 @@ def pack_caches(c_seg, bc, pat=(1, 2, 3), lane=128, xp=jnp,
                 c = pad_rows(c, _f0_geom(c.shape[1])[0])
         return c
 
+    keys = ("k", "v", "ks", "vs") if quantize else ("k", "v")
+
+    def source(j, key):
+        c = c_seg[j][key[0] if key in ("ks", "vs") else key]
+        if not quantize:
+            return c
+        cf = c.astype(xp.float32) if xp is jnp else np.asarray(c, np.float32)
+        s = xp.max(xp.abs(cf), axis=-1, keepdims=True) / 127.0
+        s = xp.maximum(s, 1e-8)
+        if key in ("ks", "vs"):
+            import ml_dtypes
+            return s.astype(jnp.bfloat16 if xp is jnp else ml_dtypes.bfloat16)
+        q = xp.clip(xp.round(cf / s), -127, 127)
+        return q.astype(xp.int8 if xp is np else jnp.int8)
+
     # biggest arrays first (f2 >> f1/f3/f6), so the largest source is freed
     # while the small ones still pend
-    order = sorted(((j, key) for j in range(len(pat)) for key in ("k", "v")),
-                   key=lambda jk: pat[jk[0]] != 2)
+    order = sorted(((j, key) for j in range(len(pat)) for key in keys),
+                   key=lambda jk: (pat[jk[0]] != 2, jk[1] in ("ks", "vs")))
     done = {}
     prev = None
     for j, key in order:
-        prev = done[(j, key)] = convert(pat[j], c_seg[j][key], prev)
-    return tuple(done[(j, key)] for j in range(len(pat))
-                 for key in ("k", "v"))
+        prev = done[(j, key)] = convert(pat[j], source(j, key), prev,
+                                        scale=key in ("ks", "vs"))
+    return tuple(done[(j, key)] for j in range(len(pat)) for key in keys)
 
 
 def init_kernel_caches(G, bc, blocks, B, A, pat=(1, 2, 3), lane=128,
                        dtype=jnp.bfloat16, sublane=8, prime_rows=0,
-                       f0_rows=0):
+                       f0_rows=0, quantize=False):
     """Fresh zero caches directly in the kernel's slot-leading layout
     (equivalent to pack_caches(init_cache_from_segments(...)) without
     materializing the standard layout). prime_rows/f0_rows give the f7
-    prime cache length (_prime_len) and the f0 ring's true slot count."""
+    prime cache length (_prime_len) and the f0 ring's true slot count.
+    quantize=True allocates int8 K/V plus bf16 scale buffers (4 per
+    position, see pack_caches)."""
     assert 6 not in pat, "f6 caches hold projected encoder K/V, not zeros"
     Ap = _round_up(A, lane)
     B = _round_up(B, sublane)
+    if quantize:
+        dtype = jnp.int8
     z = lambda *s: jnp.zeros(s, dtype)
+    zs = lambda *s: jnp.zeros(s[:-1] + (SCALE_LANES,), jnp.bfloat16)
     shapes = {1: (G, bc, B, Ap), 2: (G, bc, blocks, B, Ap),
               3: (G, 2, bc, B, Ap)}
     if 7 in pat:
@@ -327,37 +360,57 @@ def init_kernel_caches(G, bc, blocks, B, A, pat=(1, 2, 3), lane=128,
     out = []
     for f in pat:
         out += [z(*shapes[f]), z(*shapes[f])]
+        if quantize:
+            out += [zs(*shapes[f]), zs(*shapes[f])]
     return tuple(out)
 
 
-def unpack_caches(c6, A, pat=(1, 2, 3), B=None, f0_rows=None):
+def unpack_caches(c6, A, pat=(1, 2, 3), B=None, f0_rows=None,
+                  dtype=jnp.bfloat16):
     """Kernel layout -> standard tuple of len(pat) {"k","v"} trees. B slices
     off the sublane batch padding (None keeps every row). f0_rows slices the
-    func-0 ring back to its true slot count (chunk-multiple pad dropped)."""
+    func-0 ring back to its true slot count (chunk-multiple pad dropped).
+    int8 caches (4 arrays per position) are dequantised to `dtype`."""
+    quant = len(c6) == 4 * len(pat)
+    stride = 4 if quant else 2
 
     def unpadB(x):  # [..., Bp, A] -> [..., B, A]
         return x if B is None else x[..., :B, :]
 
-    def t1(x):  # [G,bc,Bp,Ap] -> [G,B,bc,A]
-        return jnp.transpose(unpadB(x[..., :A]), (0, 2, 1, 3))
+    def mk(a):
+        def t1(x):  # [G,bc,Bp,Ap] -> [G,B,bc,A]
+            return jnp.transpose(unpadB(x[..., :a]), (0, 2, 1, 3))
 
-    def t2(x):  # [G,bc,bl,Bp,Ap] -> [G,B,bc,bl,A]
-        return jnp.transpose(unpadB(x[..., :A]), (0, 3, 1, 2, 4))
+        def t2(x):  # [G,bc,bl,Bp,Ap] -> [G,B,bc,bl,A]
+            return jnp.transpose(unpadB(x[..., :a]), (0, 3, 1, 2, 4))
 
-    def t3(x):  # [G,2,bc,Bp,Ap] -> [G,B,2bc,A]
-        x = unpadB(x[..., :A])
-        g, two, bc_, b, _ = x.shape
-        return jnp.transpose(x.reshape(g, two * bc_, b, A), (0, 2, 1, 3))
+        def t3(x):  # [G,2,bc,Bp,Ap] -> [G,B,2bc,A]
+            x = unpadB(x[..., :a])
+            g, two, bc_, b, _ = x.shape
+            return jnp.transpose(x.reshape(g, two * bc_, b, a), (0, 2, 1, 3))
 
-    def t7(x):  # [G,pr+1,Bp,Ap] -> [G,B,pr,A] (garbage row dropped)
-        return t1(x[:, :-1])
+        def t7(x):  # [G,pr+1,Bp,Ap] -> [G,B,pr,A] (garbage row dropped)
+            return t1(x[:, :-1])
 
-    def t0(x):  # [G,Npad,Bp,Ap] -> [G,B,N,A]
-        return t1(x if f0_rows is None else x[:, :f0_rows])
+        def t0(x):  # [G,Npad,Bp,Ap] -> [G,B,N,A]
+            return t1(x if f0_rows is None else x[:, :f0_rows])
 
-    conv = {1: t1, 2: t2, 3: t3, 6: t1, 7: t7, 0: t0}
-    return tuple({"k": conv[f](c6[2 * j]), "v": conv[f](c6[2 * j + 1])}
-                 for j, f in enumerate(pat))
+        return {1: t1, 2: t2, 3: t3, 6: t1, 7: t7, 0: t0}
+
+    conv, conv_s = mk(A), mk(1)
+
+    def cache(j, key):
+        i = stride * j + ("k", "v").index(key)
+        c = conv[pat[j]](c6[i])
+        if not quant:
+            return c
+        # lane 0 of the scale row holds the value (kernel writes broadcast
+        # it across the row; pack_caches zero-pads lanes 1+)
+        s = conv_s[pat[j]](c6[stride * j + 2 + ("k", "v").index(key)])
+        return (c.astype(jnp.float32) * s.astype(jnp.float32)).astype(dtype)
+
+    return tuple({"k": cache(j, "k"), "v": cache(j, "v")}
+                 for j in range(len(pat)))
 
 
 # ---------------------------------------------------------------------------
@@ -369,7 +422,7 @@ def _quick_gelu(x):
 
 
 def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
-            quantized, pat, H, sliced_heads, matmul_heads, enc_rows,
+            quantized, cache_q, pat, H, sliced_heads, matmul_heads, enc_rows,
             prime_rows, f0_rows, f0_chunk, t_ref, *refs):
     """refs: len(pat)×12 (or ×16 with int8 scales) packed param refs
     (weights ANY, biases/LN/scales VMEM), 2*len(pat) cache refs (ANY), x_in;
@@ -378,8 +431,18 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
     f6 positions attend a read-only [G, enc_rows, B, Ap] encoder cache
     with a q-only projection (no write-back); f7 a [G, prime_rows+1, B, Ap]
     prime cache (see module docstring); f0 a [G, f0_rows(padded), B, Ap]
-    full-context ring read f0_chunk rows at a time with online softmax."""
+    full-context ring read f0_chunk rows at a time with online softmax.
+
+    cache_q: int8 ring caches — 4 refs per position (k, v int8 + bf16
+    per-(slot, batch) scale rows [.., B, SCALE_LANES]), 4 extra scratch
+    buffers (ksbuf/vsbuf/ksstage/vsstage). Rows quantise on write (absmax
+    over the lane axis / 127); reads stay int8 through the score/value
+    reductions and the scales fold into the [B, L] score matrix and the
+    [L, B] softmax weights — O(B·L) dequant fixups like the new-token
+    patch, never an O(L·B·Ap) dequant pass. HALVES cache HBM bytes and
+    the cache-read half of the decode roofline."""
     P = len(pat)
+    n_per = 4 if cache_q else 2
     n_pp = Sp // PW
     n_m1 = Smp // PW
     n_m2 = Sp // PW
@@ -399,12 +462,18 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
     params = [dict(zip(keys, refs[j * per:(j + 1) * per]))
               for j in range(P)]
     off = P * per
-    cache_flat = refs[off:off + 2 * P]
-    x_in = refs[off + 2 * P]
-    x_out = refs[off + 2 * P + 1]
-    cache_out_flat = refs[off + 2 * P + 2:off + 4 * P + 2]
-    (canvas, kbuf, vbuf, kstage, vstage,
-     wsem, crsem, wbsem) = refs[off + 4 * P + 2:]
+    n_c = n_per * P
+    cache_flat = refs[off:off + n_c]
+    x_in = refs[off + n_c]
+    x_out = refs[off + n_c + 1]
+    cache_out_flat = refs[off + n_c + 2:off + 2 * n_c + 2]
+    scratch = refs[off + 2 * n_c + 2:]
+    (canvas, kbuf, vbuf, kstage, vstage, wsem, crsem, wbsem) = scratch[:8]
+    if cache_q:
+        ksbuf, vsbuf, ksstage, vsstage = scratch[8:]
+        stages_all = (kstage, vstage, ksstage, vsstage)
+    else:
+        stages_all = (kstage, vstage)
 
     t = t_ref[0, 0]
     s_row = t % bc          # func-1 slot / func-2 column
@@ -414,9 +483,9 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
     hd = A // H
     scale = float(hd) ** -0.25
 
-    cache_in = {j: (cache_flat[2 * j], cache_flat[2 * j + 1])
+    cache_in = {j: tuple(cache_flat[n_per * j + i] for i in range(n_per))
                 for j in range(P)}
-    cache_w = {j: (cache_out_flat[2 * j], cache_out_flat[2 * j + 1])
+    cache_w = {j: tuple(cache_out_flat[n_per * j + i] for i in range(n_per))
                for j in range(P)}
 
     # -- weight-piece DMA plumbing: N_SLOTS-deep pipeline, issued
@@ -483,46 +552,46 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
     #    dims only). The cache pair at position j has the layout of func
     #    pat[j] (patterns may be rotations like (2,3,1)). -------------------
     def cache_read(j, g):
+        """DMA list for position j's cache rows (k, v and — int8 caches —
+        their bf16 scale rows; sems 0/1 for k/v, 4/5 for the scales)."""
         f = pat[j]
-        ki, vi = cache_in[j]
-        if f == 1:
-            kd = pltpu.make_async_copy(ki.at[g], kbuf.at[:bc], crsem.at[0])
-            vd = pltpu.make_async_copy(vi.at[g], vbuf.at[:bc], crsem.at[1])
+        bufs = cache_in[j]
+        dsts = (kbuf, vbuf) + ((ksbuf, vsbuf) if cache_q else ())
+        sems = (0, 1, 4, 5)
+        if f == 1 or f == 3:
+            rows = bc
         elif f == 2:
-            kd = pltpu.make_async_copy(ki.at[g, s_row], kbuf.at[:blocks],
-                                       crsem.at[0])
-            vd = pltpu.make_async_copy(vi.at[g, s_row], vbuf.at[:blocks],
-                                       crsem.at[1])
+            rows = blocks
         elif f == 6:
-            kd = pltpu.make_async_copy(ki.at[g], kbuf.at[:enc_rows],
-                                       crsem.at[0])
-            vd = pltpu.make_async_copy(vi.at[g], vbuf.at[:enc_rows],
-                                       crsem.at[1])
-        elif f == 7:
-            rows = prime_rows + 1  # incl. the gen-phase garbage row
-            kd = pltpu.make_async_copy(ki.at[g], kbuf.at[:rows], crsem.at[0])
-            vd = pltpu.make_async_copy(vi.at[g], vbuf.at[:rows], crsem.at[1])
+            rows = enc_rows
         else:
-            kd = pltpu.make_async_copy(ki.at[g, ring_r], kbuf.at[:bc],
-                                       crsem.at[0])
-            vd = pltpu.make_async_copy(vi.at[g, ring_r], vbuf.at[:bc],
-                                       crsem.at[1])
-        return kd, vd
+            rows = prime_rows + 1  # incl. the gen-phase garbage row
+        out = []
+        for i, (src, dst) in enumerate(zip(bufs, dsts)):
+            if f == 2:
+                s = src.at[g, s_row]
+            elif f == 3:
+                s = src.at[g, ring_r]
+            else:
+                s = src.at[g]
+            out.append(pltpu.make_async_copy(s, dst.at[:rows],
+                                             crsem.at[sems[i]]))
+        return out
 
     def f0_read(j, g, c):
         """Chunk-c read of an f0 ring into ping-pong slot c%2 (so chunk c+1
         streams while chunk c is in the online-softmax math; sems 2*(c%2)
-        and 2*(c%2)+1 keep the two in-flight pairs independent)."""
-        ki, vi = cache_in[j]
+        and 2*(c%2)+1 — plus 4 higher for the int8 scale rows — keep the
+        two in-flight sets independent)."""
+        bufs = cache_in[j]
+        dsts = (kbuf, vbuf) + ((ksbuf, vsbuf) if cache_q else ())
         slot = (c % 2) * f0_chunk
         sem = 2 * (c % 2)
-        kd = pltpu.make_async_copy(ki.at[g, pl.ds(c * f0_chunk, f0_chunk)],
-                                   kbuf.at[pl.ds(slot, f0_chunk)],
-                                   crsem.at[sem])
-        vd = pltpu.make_async_copy(vi.at[g, pl.ds(c * f0_chunk, f0_chunk)],
-                                   vbuf.at[pl.ds(slot, f0_chunk)],
-                                   crsem.at[sem + 1])
-        return kd, vd
+        sems = (sem, sem + 1, sem + 4, sem + 5)
+        return [pltpu.make_async_copy(src.at[g, pl.ds(c * f0_chunk, f0_chunk)],
+                                      dst.at[pl.ds(slot, f0_chunk)],
+                                      crsem.at[sems[i]])
+                for i, (src, dst) in enumerate(zip(bufs, dsts))]
 
     def group_body(g, _):
         x = x_out[:]                                   # [B, Sp]
@@ -538,20 +607,20 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
             if f != 6:
                 @pl.when(g > 0)
                 def _(j=j, f=f):
-                    _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
+                    _wb_dma(j, f, cache_w, stages_all, wbsem, bc,
                             s_row, b_col, ring_w, jnp.maximum(g - 1, 0),
                             B, t, prime_rows).wait_all()
 
             if f == 0:
                 # start the first ring chunk here (overlaps LN + qkv like the
                 # single-shot reads); chunks then ping-pong inside the body
-                kd0, vd0 = f0_read(j, g, jnp.int32(0))
-                kd0.start()
-                vd0.start()
+                for d in f0_read(j, g, jnp.int32(0)):
+                    d.start()
+                rds = ()
             else:
-                kd, vd = cache_read(j, g)
-                kd.start()
-                vd.start()
+                rds = cache_read(j, g)
+                for d in rds:
+                    d.start()
 
             xf = x.astype(jnp.float32)
             if Sp == S:
@@ -599,9 +668,28 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                     L, lim, ins = None, None, t        # chunked path below
                 else:
                     L, lim, ins = bc, None, None       # reads the PREV ring
-                kstage[j * B:(j + 1) * B, :] = kbf
-                vstage[j * B:(j + 1) * B, :] = vbf
-                _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
+                if cache_q:
+                    # quantise the row on write: absmax over the lane axis
+                    # (padded cols are exact zeros), scale broadcast across
+                    # the SCALE_LANES row so reads can lane-reduce it back
+                    ksc = jnp.maximum(jnp.max(jnp.abs(k), axis=-1,
+                                              keepdims=True) / 127.0, 1e-8)
+                    vsc = jnp.maximum(jnp.max(jnp.abs(v), axis=-1,
+                                              keepdims=True) / 127.0, 1e-8)
+                    kstage[j * B:(j + 1) * B, :] = jnp.clip(
+                        jnp.round(k * (1.0 / ksc)), -127.0, 127.0
+                    ).astype(jnp.int8)
+                    vstage[j * B:(j + 1) * B, :] = jnp.clip(
+                        jnp.round(v * (1.0 / vsc)), -127.0, 127.0
+                    ).astype(jnp.int8)
+                    ksstage[j * B:(j + 1) * B, :] = lax.broadcast_in_dim(
+                        ksc, (B, SCALE_LANES), (0, 1)).astype(jnp.bfloat16)
+                    vsstage[j * B:(j + 1) * B, :] = lax.broadcast_in_dim(
+                        vsc, (B, SCALE_LANES), (0, 1)).astype(jnp.bfloat16)
+                else:
+                    kstage[j * B:(j + 1) * B, :] = kbf
+                    vstage[j * B:(j + 1) * B, :] = vbf
+                _wb_dma(j, f, cache_w, stages_all, wbsem, bc,
                         s_row, b_col, ring_w, g, B, t, prime_rows).start_all()
 
             if f == 0:
@@ -638,18 +726,27 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                     # by the pre-LN prologue); wait it, then kick chunk c+1
                     # into the other ping-pong slot so its HBM read overlaps
                     # this chunk's math
-                    kdc, vdc = f0_read(_j, g, c)
-                    kdc.wait()
-                    vdc.wait()
+                    for d in f0_read(_j, g, c):
+                        d.wait()
 
                     @pl.when(c + 1 <= last_chunk)
                     def _():
-                        kdn, vdn = f0_read(_j, g, c + 1)
-                        kdn.start()
-                        vdn.start()
+                        for d in f0_read(_j, g, c + 1):
+                            d.start()
 
                     sl = (c % 2) * CH
-                    krc = kbuf[pl.ds(sl, CH)].astype(jnp.float32) * scale
+                    if cache_q:
+                        # int8 rows: defer BOTH the k*s attention scale and
+                        # the row dequant to the [B, CH] score matrix
+                        krc = kbuf[pl.ds(sl, CH)].astype(jnp.float32)
+                        dqk = jnp.max(
+                            ksbuf[pl.ds(sl, CH)].astype(jnp.float32),
+                            axis=-1).T * scale                     # [B, CH]
+                        dqv = jnp.max(
+                            vsbuf[pl.ds(sl, CH)].astype(jnp.float32),
+                            axis=-1).T                             # [B, CH]
+                    else:
+                        krc = kbuf[pl.ds(sl, CH)].astype(jnp.float32) * scale
                     vrc = vbuf[pl.ds(sl, CH)].astype(jnp.float32)
                     colsc = c * CH + lax.broadcasted_iota(jnp.int32,
                                                           (B, CH), 1)
@@ -659,6 +756,8 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                         vrh = vrc if hsl is None else vrc[..., hsl]
                         qb = lax.broadcast_in_dim(qh, (CH, B, w), (1, 2))
                         st = jnp.sum(qb * krh, axis=-1).T          # [B, CH]
+                        if cache_q:
+                            st = st * dqk
                         sc_new = jnp.sum(qh * knh * scale, axis=-1,
                                          keepdims=True)
                         st = jnp.where(colsc == t, sc_new, st)
@@ -673,7 +772,8 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                             keepdims=True)
                         p = jnp.where(colsc == t, 0.0, p)
                         l2 = l * r + jnp.sum(p, axis=-1, keepdims=True)
-                        sb = lax.broadcast_in_dim(p.T, (CH, B, w), (0, 1))
+                        pv = p * dqv if cache_q else p  # fold v row scales
+                        sb = lax.broadcast_in_dim(pv.T, (CH, B, w), (0, 1))
                         acc2 = acc * r + jnp.sum(sb * vrh, axis=0)
                         nxt.append((m2, l2, wi2, acc2))
                     return tuple(nxt)
@@ -698,8 +798,15 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                     o = o_acc
                 o = o.astype(x.dtype).astype(jnp.float32)
             elif matmul_heads:
-                kd.wait()
-                vd.wait()
+                for d in rds:
+                    d.wait()
+                if cache_q:
+                    # per-row dequant factors, folded into the [L, B, H]
+                    # score tensor resp. the softmax weights (O(B·L·H))
+                    sk_lb = jnp.max(ksbuf[:L].astype(jnp.float32),
+                                    axis=-1)                       # [L, B]
+                    sv_lb = jnp.max(vsbuf[:L].astype(jnp.float32),
+                                    axis=-1)                       # [L, B]
                 # ---- head-membership-matmul multi-head (hd not lane-aligned,
                 # e.g. the 5b top's hd=150) ----------------------------------
                 # The masked-head formulation repeats the two O(L·B·Ap)
@@ -741,6 +848,9 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                     sts.append(stc.reshape(cl, B, H))
                 st3 = (jnp.concatenate(sts, axis=0) if len(sts) > 1
                        else sts[0])                        # [L, B, H]
+                if cache_q:
+                    st3 = st3 * lax.broadcast_in_dim(sk_lb, (L, B, H),
+                                                     (0, 1))
                 W3 = jnp.zeros((L, B, H), jnp.float32)
                 w_ins_all = None
                 for h in range(H):
@@ -764,6 +874,10 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                                      jnp.concatenate([w_ins_all, w_ins],
                                                      axis=-1))
                     W3 = W3 + jnp.where(oneh, w_bl.T[:, :, None], 0.0)
+                if cache_q:
+                    # fold the V row scales into the softmax weights so the
+                    # value apply consumes raw int8 rows
+                    W3 = W3 * lax.broadcast_in_dim(sv_lb, (L, B, H), (0, 1))
                 o = jnp.zeros((B, Ap), jnp.float32)
                 for c0 in range(0, L, CL):
                     cl = min(CL, L - c0)
@@ -777,8 +891,8 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                     o = o + w_field * vbf32
                 o = o.astype(x.dtype).astype(jnp.float32)
             else:
-                kd.wait()
-                vd.wait()
+                for d in rds:
+                    d.wait()
                 # buffers are slot-leading [L, B, Ap]; batched matvecs become
                 # VPU broadcast-multiply-reduce (Mosaic supports neither
                 # mid-axis shape casts nor batched dots with an empty lhs
@@ -788,7 +902,16 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                 # w_ins * v_new after zeroing the stale slot's weight — O(B·L)
                 # and O(B·Ap) fixups instead of O(L·B·Ap) merge passes.
                 # Heads run as a static loop over lane-aligned hd slices.
-                kr = kbuf[:L].astype(jnp.float32) * scale
+                if cache_q:
+                    # raw int8 rows; the k*s scale AND the per-row dequant
+                    # fold into the [B, L] score matrix / [L, B] weights
+                    kr = kbuf[:L].astype(jnp.float32)
+                    dqk = jnp.max(ksbuf[:L].astype(jnp.float32),
+                                  axis=-1).T * scale               # [B, L]
+                    sv_lb = jnp.max(vsbuf[:L].astype(jnp.float32),
+                                    axis=-1)                       # [L, B]
+                else:
+                    kr = kbuf[:L].astype(jnp.float32) * scale
                 vr = vbuf[:L].astype(jnp.float32)
                 qs = q * scale
                 cols = lax.broadcasted_iota(jnp.int32, (B, L), 1)
@@ -823,6 +946,8 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                     # formulation Mosaic compiles after a lane reduction
                     # (sublane-axis keepdims hits a relayout bug)
                     st = jnp.sum(qb * krh, axis=-1).T              # [B, L]
+                    if cache_q:
+                        st = st * dqk
                     if ins is not None:
                         sc_new = jnp.sum(qh * knewh * scale,
                                          axis=-1, keepdims=True)   # [B, 1]
@@ -837,6 +962,8 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
                                         axis=-1, keepdims=True)    # [B, 1]
                         w_bl = jnp.where(cols == ins, 0.0, w_bl)
                     w_att = w_bl.T                                 # [L, B]
+                    if cache_q:
+                        w_att = w_att * sv_lb  # fold V row dequant
                     sb = lax.broadcast_in_dim(w_att, (L, B, width), (0, 1))
                     o_h = jnp.sum(sb * vrh, axis=0)                # [B, width]
                     if ins is not None:
@@ -914,48 +1041,47 @@ def _kernel(S, A, Ap, Sm, PW, Sp, Smp, bc, blocks, G, B, res_scale, N_SLOTS,
     # epilogue: final group's write-backs (f6 caches are read-only)
     for j in range(P):
         if pat[j] != 6:
-            _wb_dma(j, pat[j], cache_w, kstage, vstage, wbsem, bc,
+            _wb_dma(j, pat[j], cache_w, stages_all, wbsem, bc,
                     s_row, b_col, ring_w, G - 1, B, t, prime_rows).wait_all()
 
 
 class _WbPair:
-    """The pair of one-token write-back DMAs of layer j's k/v stages into
-    the group-g ring caches. Reconstructible so start and wait can live at
-    different pipeline points (same refs/sems)."""
+    """The set of one-token write-back DMAs of layer j's k/v (+ scale)
+    stages into the group-g ring caches. Reconstructible so start and wait
+    can live at different pipeline points (same refs/sems)."""
 
-    def __init__(self, kd, vd):
-        self.kd, self.vd = kd, vd
+    def __init__(self, dmas):
+        self.dmas = dmas
 
     def start_all(self):
-        self.kd.start()
-        self.vd.start()
+        for d in self.dmas:
+            d.start()
 
     def wait_all(self):
-        self.kd.wait()
-        self.vd.wait()
+        for d in self.dmas:
+            d.wait()
 
 
-def _wb_dma(j, f, cache_w, kstage, vstage, wbsem, bc,
+def _wb_dma(j, f, cache_w, stages, wbsem, bc,
             s_row, b_col, ring_w, g, B, t=None, prime_rows=0):
-    ko, vo = cache_w[j]
-    if f == 1:
-        kdst, vdst = ko.at[g, s_row], vo.at[g, s_row]
-    elif f == 2:
-        kdst, vdst = ko.at[g, s_row, b_col], vo.at[g, s_row, b_col]
-    elif f == 7:
-        # prime prefix while t < prime_rows; the trailing garbage row after
-        # (the reference drops gen-phase writes, models/attention.py f7)
-        s7 = jnp.minimum(t, prime_rows)
-        kdst, vdst = ko.at[g, s7], vo.at[g, s7]
-    elif f == 0:
-        kdst, vdst = ko.at[g, t], vo.at[g, t]
-    else:
-        kdst, vdst = ko.at[g, ring_w, s_row], vo.at[g, ring_w, s_row]
-    kd = pltpu.make_async_copy(kstage.at[pl.ds(j * B, B), :], kdst,
-                               wbsem.at[j, 0])
-    vd = pltpu.make_async_copy(vstage.at[pl.ds(j * B, B), :], vdst,
-                               wbsem.at[j, 1])
-    return _WbPair(kd, vd)
+    dmas = []
+    for i, stage in enumerate(stages):
+        out = cache_w[j][i]
+        if f == 1:
+            dst = out.at[g, s_row]
+        elif f == 2:
+            dst = out.at[g, s_row, b_col]
+        elif f == 7:
+            # prime prefix while t < prime_rows; the trailing garbage row
+            # after (the reference drops gen-phase writes, attention.py f7)
+            dst = out.at[g, jnp.minimum(t, prime_rows)]
+        elif f == 0:
+            dst = out.at[g, t]
+        else:
+            dst = out.at[g, ring_w, s_row]
+        dmas.append(pltpu.make_async_copy(stage.at[pl.ds(j * B, B), :], dst,
+                                          wbsem.at[j, i]))
+    return _WbPair(dmas)
 
 
 # ---------------------------------------------------------------------------
@@ -967,8 +1093,14 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                        lane=128, n_slots=None, dtype=jnp.bfloat16,
                        quantized=False, pat=(1, 2, 3), n_head=1,
                        interpret=False, head_mode="auto", enc_rows=0,
-                       sublane=8, prime_rows=0, f0_rows=0):
+                       sublane=8, prime_rows=0, f0_rows=0,
+                       cache_quantized=False):
     """Returns fn(flat_packed, caches6, x, t) -> (x_new, caches6).
+
+    cache_quantized: the ring caches are stored int8 with per-(slot, batch)
+    bf16 scale rows — 4 arrays per pattern position (see pack_caches) —
+    halving cache HBM capacity and read bandwidth (the decode roofline's
+    second term after the weight stream).
 
     flat_packed: list from _flatten_packed(pack_decode_params(p_seg, lane)).
     caches6: kernel-layout caches from pack_caches(..., pat, lane) — their
@@ -1035,6 +1167,7 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     Bp = _round_up(B, sublane)
     kernel = functools.partial(_kernel, S, A, Ap, Sm, PW, Sp, Smp, bc,
                                blocks, G, Bp, res_scale, n_slots, quantized,
+                               cache_quantized,
                                tuple(pat), n_head, sliced_heads, matmul_heads,
                                enc_rows, prime_rows, f0_rows, f0_chunk)
 
@@ -1044,14 +1177,36 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
     w_keys = {"w_qkv", "w_proj", "w_m1", "w_m2"}
     param_specs = [anym if k in w_keys else vmem
                    for _ in range(P) for k in _pack_keys(quantized)]
-    cache_specs = [anym] * (2 * P)
+    n_c = (4 if cache_quantized else 2) * P
+    cache_specs = [anym] * n_c
     canvas_dtype = jnp.int8 if quantized else dtype
+    cbuf_dtype = jnp.int8 if cache_quantized else dtype
+    scratch = [
+        pltpu.VMEM((n_slots, Smax, max(Ap, PW)), canvas_dtype),
+        pltpu.VMEM((max_rows, Bp, Ap), cbuf_dtype),  # K read buf
+        pltpu.VMEM((max_rows, Bp, Ap), cbuf_dtype),  # V read buf
+        pltpu.VMEM((P * Bp, Ap), cbuf_dtype),        # k write stage
+        pltpu.VMEM((P * Bp, Ap), cbuf_dtype),        # v write stage
+        pltpu.SemaphoreType.DMA((n_slots,)),         # weight piece sems
+        pltpu.SemaphoreType.DMA((8,)),               # cache read sems: k/v
+                                                     # 0-3 (f0 ping-pong),
+                                                     # scales 4-7
+        pltpu.SemaphoreType.DMA((P, 4 if cache_quantized else 2)),  # wb sems
+    ]
+    if cache_quantized:
+        scratch += [
+            pltpu.VMEM((max_rows, Bp, SCALE_LANES), jnp.bfloat16),  # K scales
+            pltpu.VMEM((max_rows, Bp, SCALE_LANES), jnp.bfloat16),  # V scales
+            pltpu.VMEM((P * Bp, SCALE_LANES), jnp.bfloat16),  # ks write stage
+            pltpu.VMEM((P * Bp, SCALE_LANES), jnp.bfloat16),  # vs write stage
+        ]
 
     def fn(flat_packed, caches, x, t):
         t2 = jnp.asarray(t, jnp.int32).reshape(1, 1)
         x2 = x.reshape(B, S).astype(dtype)
         if Bp != B or Sp != S:
             x2 = jnp.pad(x2, ((0, Bp - B), (0, Sp - S)))
+        assert len(caches) == n_c, (len(caches), n_c, cache_quantized)
         assert caches[0].shape[-2] == Bp, (caches[0].shape, B, Bp)
         outs = pl.pallas_call(
             kernel,
@@ -1060,20 +1215,10 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
             out_specs=[vmem] + cache_specs,
             out_shape=[jax.ShapeDtypeStruct((Bp, Sp), dtype)] + [
                 jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches],
-            scratch_shapes=[
-                pltpu.VMEM((n_slots, Smax, max(Ap, PW)), canvas_dtype),
-                pltpu.VMEM((max_rows, Bp, Ap), dtype),  # K read buf
-                pltpu.VMEM((max_rows, Bp, Ap), dtype),  # V read buf
-                pltpu.VMEM((P * Bp, Ap), dtype),        # k write stage
-                pltpu.VMEM((P * Bp, Ap), dtype),        # v write stage
-                pltpu.SemaphoreType.DMA((n_slots,)),    # weight piece sems
-                pltpu.SemaphoreType.DMA((4,)),          # cache read sems (f0
-                                                        # ping-pong uses 2 pairs)
-                pltpu.SemaphoreType.DMA((P, 2)),        # write-back sems
-            ],
+            scratch_shapes=scratch,
             input_output_aliases={
-                # inputs: t(0), P*keys params, 2P caches, x -> cache outs
-                1 + len(param_specs) + i: 1 + i for i in range(2 * P)},
+                # inputs: t(0), P*keys params, n_c caches, x -> cache outs
+                1 + len(param_specs) + i: 1 + i for i in range(n_c)},
             interpret=interpret,
             # 5b-width canvases (4 slots x 4864 x 1280 int8 ~ 25 MB) exceed
             # the default 16 MB scoped-vmem budget; the chip has 128 MB
@@ -1081,6 +1226,6 @@ def build_stack_decode(S, A, Sm, bc, blocks, G, B, res_scale=1.0,
                 has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024),
         )(t2, *flat_packed, *caches, x2)
         x_new = outs[0][:B, :S].reshape(B, 1, S)
-        return x_new, tuple(outs[1:1 + 2 * P])
+        return x_new, tuple(outs[1:1 + n_c])
 
     return fn

@@ -233,8 +233,12 @@ def _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps, rng=None):
     JUKEBOX_PIPELINE=1) interleaves lower-level windows with upper-level
     decoding — identical tokens, overlapped stages."""
     rng = rng if rng is not None else jax.random.key(hps.get("seed", 0))
+    # DEFAULT-ON: token-identical to the sequential cascade (tested) and
+    # 22.5% less wall-clock on one chip (PERF.md). JUKEBOX_PIPELINE=0 or
+    # hps.pipeline_cascade=False restores the sequential scheduler.
+    env = os.environ.get("JUKEBOX_PIPELINE")
     pipelined = hps.get("pipeline_cascade",
-                        os.environ.get("JUKEBOX_PIPELINE", "") not in ("", "0"))
+                        env != "0" if env is not None else True)
     if pipelined and len(sample_levels) > 1:
         return _sample_pipelined(zs, labels, sampling_kwargs, priors,
                                  sample_levels, hps, rng)
@@ -376,6 +380,8 @@ def save_samples(model, device, hps, sample_hps):
 
 def run(model, mode="ancestral", codes_file=None, audio_file=None,
         prompt_length_in_seconds=None, port=29500, **kwargs):
+    from jukebox_tpu.models.make_models import enable_warm_start
+    enable_warm_start()  # persistent compile + init + packed-weight caches
     hps = Hyperparams(**kwargs)
     sample_hps = Hyperparams(mode=mode, codes_file=codes_file,
                              audio_file=audio_file,

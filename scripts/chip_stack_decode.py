@@ -19,6 +19,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
+
 import jax.numpy as jnp
 
 from jukebox_tpu.models.transformer import Transformer
@@ -60,12 +65,16 @@ plan = tr.decode_plan
 assert len(plan) == 1 and plan[0][0] == "scan", plan
 p_seg_host = tr._segment_trees(per_layer, stack=np.stack)[0]
 INT8 = os.environ.get("PROBE_INT8", "0") == "1"
+INT8_CACHE = os.environ.get("PROBE_INT8_CACHE", "0") == "1"
 packed_host = pack_decode_params(p_seg_host, quantize=INT8)
 if INT8:
     print("megakernel path: int8 weight streaming")
+if INT8_CACHE:
+    print("megakernel path: int8 ring caches")
 
 xs_np = (0.5 * rng.randn(max(N_TOK, 16), B, 1, S)).astype(np.float32)
-mk = build_stack_decode(S, A, S, bc, blocks, G, B, quantized=INT8)
+mk = build_stack_decode(S, A, S, bc, blocks, G, B, quantized=INT8,
+                        cache_quantized=INT8_CACHE)
 
 
 def seg_mk(packed_w, c6, xs, t0):
@@ -136,7 +145,7 @@ jit_mk = jax.jit(seg_mk, donate_argnums=(1,))
 
 
 def mk_caches():
-    return init_kernel_caches(G, bc, blocks, B, A)
+    return init_kernel_caches(G, bc, blocks, B, A, quantize=INT8_CACHE)
 
 
 print("megakernel: correctness tokens...")

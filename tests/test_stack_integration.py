@@ -88,9 +88,15 @@ def test_packed_decode_after_conversion_matches_standard(quantize, order):
                                 fp16=True)
     _, c_pkd = tr.prefill_chunk(packed, c_pkd, x_chunk, jnp.int32(0), nb,
                                 fp16=True)
-    # prefill -> decode boundary: convert to the kernel cache layout
+    # prefill -> decode boundary: convert to the kernel cache layout.
+    # int8 weight staging defaults to int8 ring caches too (4 arrays per
+    # pattern position: k, v int8 + bf16 scale rows)
     c_pkd = tr.pack_segment_caches(packed, c_pkd)
-    assert isinstance(c_pkd[0], tuple) and len(c_pkd[0]) == 6
+    assert isinstance(c_pkd[0], tuple)
+    assert len(c_pkd[0]) == (12 if quantize else 6)
+    if quantize:
+        assert c_pkd[0][0].dtype == jnp.int8
+        assert c_pkd[0][2].dtype == jnp.bfloat16
     # idempotent on already-converted caches
     assert tr.pack_segment_caches(packed, c_pkd)[0] is c_pkd[0]
 
@@ -98,6 +104,7 @@ def test_packed_decode_after_conversion_matches_standard(quantize, order):
                                                  fp16_out=True))
     mkp = jax.jit(lambda c, x, t: tr.decode_step(packed, c, x, t, fp16=True,
                                                  fp16_out=True))
+    tol = 0.05 if quantize else 0.03  # int8 rows add ~0.5% quant noise
     for t in range(8, n_ctx):
         x = jnp.asarray(0.5 * rng.randn(B, 1, S), jnp.bfloat16)
         y_std, c_std = ref(c_std, x, jnp.asarray(t))
@@ -105,7 +112,7 @@ def test_packed_decode_after_conversion_matches_standard(quantize, order):
         err = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)
                                     - y_pkd.astype(jnp.float32))))
         mag = float(jnp.max(jnp.abs(y_std.astype(jnp.float32)))) + 1e-6
-        assert err < 0.03 * max(mag, 1.0), (t, err, mag)
+        assert err < tol * max(mag, 1.0), (t, err, mag)
 
 
 @pytest.mark.parametrize("quantize", [False, True])
