@@ -343,6 +343,7 @@ DEFAULTS["script"] = Hyperparams(
     seed=0,
     prior=False,
     log_steps=100,
+    max_steps=0,   # stop after this many total optimizer steps (0 = never)
     func="",
 )
 

@@ -8,7 +8,10 @@ pytree; its cross-device reductions are inserted by XLA (replacing DDP +
 manual collectives, reference train.py:203-292).
 """
 
+import json
+import os
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -206,6 +209,11 @@ def train(step_fns, runtime, opt_state, ema, logger, metrics, data_processor,
     train_step = step_fns["train"]
     timer = StepTimer(skip_first=1)
     tracing = False
+    # machine-readable loss-curve artifact (JUKEBOX_TRAIN_JSONL=path appends
+    # one line per log_steps with the running-averaged metrics + wall time)
+    jsonl = os.environ.get("JUKEBOX_TRAIN_JSONL")
+    t_start = time.time()
+    t_last = t_start
 
     for i, batch in logger.get_range(data_processor.train_loader):
         x, y = batch if isinstance(batch, tuple) else (batch, None)
@@ -254,6 +262,18 @@ def train(step_fns, runtime, opt_state, ema, logger, metrics, data_processor,
             _metrics[key] = avg
             if logger.iters % hps.log_steps == 0:
                 logger.add_scalar(key, avg)
+        if jsonl and logger.iters % hps.log_steps == 0:
+            now = time.time()
+            rec = dict(it=logger.iters,
+                       wall_s=round(now - t_start, 2),
+                       window_s=round(now - t_last, 2),
+                       **{k: round(float(v), 6) for k, v in _metrics.items()})
+            t_last = now
+            try:
+                with open(jsonl, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            except OSError:
+                pass
 
         # Checkpoint (train.py:266-274)
         if hps.save and logger.iters % hps.save_iters == 1:
@@ -276,6 +296,8 @@ def train(step_fns, runtime, opt_state, ema, logger, metrics, data_processor,
 
         logger.set_postfix(**{pk: _metrics[k] for pk, k in _print_keys.items()
                               if k in _metrics})
+        if hps.max_steps and logger.iters >= hps.max_steps:
+            break
     if tracing:
         jax.profiler.stop_trace()
     logger.close_range()
@@ -285,8 +307,10 @@ def train(step_fns, runtime, opt_state, ema, logger, metrics, data_processor,
 
 def run(hps="teeny", port=29500, **kwargs):
     from jukebox_tpu.data.data_processor import DataProcessor
+    from jukebox_tpu.models.make_models import enable_warm_start
     from jukebox_tpu.parallel.dist import setup_dist
 
+    enable_warm_start()  # persistent compile + init caches across runs
     rank, world = setup_dist()
     hps = setup_hparams(hps, kwargs)
     hps.ngpus = len(jax.devices())
@@ -372,6 +396,8 @@ def run(hps="teeny", port=29500, **kwargs):
                                       for k, v in test_metrics.items()))
             if params_backup is not None:
                 runtime.params = params_backup
+        if hps.max_steps and logger.iters >= hps.max_steps:
+            break
 
 
 if __name__ == "__main__":
