@@ -203,7 +203,12 @@ def main():
         recons_last=c1[-1].get("recons_loss"),
         curve=[(r["it"], r["loss"]) for r in c1],
         resume=dict(restored_step=201, steps=c2[-1]["it"], wall_s=round(w2, 1),
-                    loss_first=c2[0]["loss"], loss_last=c2[-1]["loss"]))
+                    loss_first=c2[0]["loss"], loss_last=c2[-1]["loss"],
+                    note="checkpoints are EMA-swapped (reference "
+                         "train.py:266-274 semantics): the resumed run "
+                         "restarts from the EMA shadow, which at step ~200 "
+                         "still lags the live weights -- loss_first sits "
+                         "between fresh-init and the live curve"))
     assert c1[-1]["loss"] < c1[0]["loss"], "vqvae loss did not decrease"
     # resume picked up the step counter and the checkpoint's quality
     assert c2[0]["it"] > 201, c2[0]
