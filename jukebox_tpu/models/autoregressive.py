@@ -203,7 +203,11 @@ class ConditionalAutoregressive2D:
         start = self._start_emb(params, y_cond, n)
         emb = jnp.where(t == 0, start, tok_emb)
         if x_cond.shape[1] > 1:
-            cond = lax.dynamic_slice(x_cond, (0, t, 0), (n, 1, self.width))
+            # x_cond may be batch-collapsed to [1, T, W] when every sample
+            # shares the same labels (sample_init cond_bs1) — slice by its
+            # own batch dim and let the add broadcast over the N samples
+            cond = lax.dynamic_slice(x_cond, (0, t, 0),
+                                     (x_cond.shape[0], 1, self.width))
         else:
             cond = x_cond
         pos = lax.dynamic_slice(params["pos_emb"]["pos_emb"], (t, 0), (1, self.width))

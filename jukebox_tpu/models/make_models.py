@@ -284,9 +284,10 @@ class PriorRuntime:
             model.sample,
             static_argnames=("n_samples", "fp16", "temp", "top_k", "top_p",
                              "chunk_size", "sample_tokens"))
-        self._sample_init = jax.jit(
+        self._sample_init_jit = jax.jit(
             model.sample_init, static_argnames=("n_samples", "fp16",
-                                                "chunk_size", "prefill_mb"))
+                                                "chunk_size", "prefill_mb",
+                                                "cond_bs1"))
         # caches (arg 1) are donated: each segment consumes the previous
         # segment's caches in place
         self._sample_segment = jax.jit(
@@ -447,6 +448,22 @@ class PriorRuntime:
         return self._sample(self.params, n_samples, rng, z=z, z_conds=z_conds,
                             y=y, fp16=fp16, temp=temp, top_k=top_k, top_p=top_p,
                             chunk_size=chunk_size, sample_tokens=sample_tokens)
+
+    def _sample_init(self, params, n_samples, z=None, z_conds=None, y=None,
+                     **kw):
+        """Host wrapper over the jitted sample_init: detect the standard
+        windowed-sampling case where every sample shares identical labels
+        (same window -> same offset/length/artist/lyrics) and collapse the
+        conditioning to batch 1 (static cond_bs1). Only non-x_cond (top)
+        priors qualify — upsampler x_cond derives from per-sample z_conds."""
+        cond_bs1 = False
+        mesh = (self._staged_mode or (None, None, None))[1]
+        if (not self.model.x_cond and y is not None and n_samples > 1
+                and mesh is None):  # sharded sample axis needs full batch
+            ya = np.asarray(y)
+            cond_bs1 = bool((ya == ya[:1]).all())
+        return self._sample_init_jit(params, n_samples, z=z, z_conds=z_conds,
+                                     y=y, cond_bs1=cond_bs1, **kw)
 
     def _sample_segmented(self, n_samples, z, z_conds, y, rng, fp16, temp,
                           top_k, top_p, chunk_size, sample_tokens,

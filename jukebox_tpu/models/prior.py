@@ -307,13 +307,18 @@ class SimplePrior:
 
     def sample_init(self, params, n_samples, z=None, z_conds=None, y=None,
                     fp16=False, chunk_size=None, dec_params=None,
-                    prefill_mb=None):
+                    prefill_mb=None, cond_bs1=False):
         """Returns (caches, x_tok, x_cond, y_cond, encoder_kv). The caller
         derives the start position from the context shapes (prefix_len).
         dec_params: pre-staged segment-shaped transformer params — when
         given, params may omit prior.transformer entirely (zero-copy
         staging for billion-param decode). prefill_mb: sample-axis prefill
-        microbatch (see ConditionalAutoregressive2D.prefill)."""
+        microbatch (see ConditionalAutoregressive2D.prefill).
+        cond_bs1 (static, host-decided): every sample shares identical
+        labels, so the returned x_cond collapses to batch 1 and broadcasts
+        at each decode step — the full [N, n_ctx, width] conditioning
+        buffer (1.2 GB for the 5b top at bs=16 bf16) is the largest decode
+        -segment argument and its XLA layout copy was the bs=16 OOM."""
         no_past_context = z is None or z.shape[1] == 0
         x_cond, y_cond, prime = self.get_cond(params, z_conds, y)
         encoder_kv = None
@@ -335,6 +340,10 @@ class SimplePrior:
                 x_cond = x_cond.astype(jnp.bfloat16)
             if encoder_kv is not None:
                 encoder_kv = encoder_kv.astype(jnp.bfloat16)
+        if cond_bs1 and x_cond is not None and x_cond.shape[0] > 1:
+            # identical labels across the batch: keep one row (XLA DCEs the
+            # rest); prefill + _emb_at broadcast it over the sample axis
+            x_cond = x_cond[:1]
         caches = prior.init_decode_caches(params["prior"], n_samples,
                                           fp16=fp16, encoder_kv=encoder_kv,
                                           dec_params=dec_params)

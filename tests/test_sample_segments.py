@@ -158,3 +158,57 @@ def test_prefill_microbatch_single_enc_dec(vqvae, monkeypatch):
     monkeypatch.setenv("JUKEBOX_PREFILL_MB", "2")
     out = prior.sample(segment_tokens=8, **kw)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def _sep_enc_dec_prior(vqvae):
+    """Separate lyric-encoder prior (the 5b_lyrics architecture shape)."""
+    hps = setup_hparams("teeny", dict(
+        sample_length=256, sr=8000, level=1, levels=2, labels=True,
+        labels_v3=True, y_bins=(10, 100), max_bow_genre_size=1, t_bins=16,
+        min_duration=1.0, max_duration=600.0, use_tokens=True, n_tokens=16,
+        n_vocab=79, prime_loss_fraction=0.4,
+        n_ctx=64, prior_width=32, prior_depth=10, heads=2, attn_order=8,
+        blocks=8, init_scale=0.7, prime_width=16, prime_depth=2,
+        prime_heads=1, prime_attn_order=0, prime_blocks=4,
+        prime_init_scale=0.7))
+    return make_prior(hps, vqvae)
+
+
+def test_cond_bs1_collapse_token_identical(vqvae):
+    """When every sample shares identical labels (the standard windowed
+    -sampling batch), the segmented path collapses x_cond to batch 1 and
+    broadcasts it per step (the full [N, n_ctx, width] buffer + its XLA
+    layout copy was the 5b bs=16 decode-segment OOM). Tokens must be
+    identical to the monolithic full-batch path, and the collapse must
+    actually fire."""
+    prior = _sep_enc_dec_prior(vqvae)
+    bs = 3
+    y = _labels(prior, bs)
+    kw = dict(n_samples=bs, z=None, z_conds=None, y=y, rng=jax.random.key(21),
+              fp16=False, temp=0.99, chunk_size=8)
+    ref = prior.sample(segment_tokens=None, **kw)  # monolithic, full batch
+    state = prior._sample_init(prior.params, bs, z=None, z_conds=None, y=y,
+                               fp16=False, chunk_size=8)
+    x_cond = state[2]
+    assert x_cond.shape[0] == 1, "identical labels must collapse x_cond"
+    seg = prior.sample(segment_tokens=8, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(seg))
+
+
+def test_cond_bs1_mixed_labels_stays_full(vqvae):
+    """Distinct per-sample labels must NOT collapse (each sample's timing /
+    artist conditioning differs) and still match the monolithic stream."""
+    prior = _sep_enc_dec_prior(vqvae)
+    metas = [dict(artist="unknown", genre="unknown", lyrics="twinkle",
+                  total_length=8000 * 60, offset=0),
+             dict(artist="unknown", genre="unknown", lyrics="little star",
+                  total_length=8000 * 90, offset=8000)]
+    y = prior.get_y(prior.labeller.get_batch_labels(metas), 0)
+    kw = dict(n_samples=2, z=None, z_conds=None, y=y, rng=jax.random.key(22),
+              fp16=False, temp=0.99, chunk_size=8)
+    state = prior._sample_init(prior.params, 2, z=None, z_conds=None, y=y,
+                               fp16=False, chunk_size=8)
+    assert state[2].shape[0] == 2, "mixed labels must keep per-sample x_cond"
+    ref = prior.sample(segment_tokens=None, **kw)
+    seg = prior.sample(segment_tokens=8, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(seg))
