@@ -30,8 +30,13 @@ def get_alignment(x, zs, labels, prior, fp16, hps):
     attn_layers = {alignment_layer}
     alignment_hops, indices_hops = {}, {}
 
+    import sys
+    import time
+    t = time.time()
     if hasattr(prior, "to_device"):
         prior.to_device()  # reference: prior.cuda() (align.py:34)
+    print(f"[align] to_device {time.time() - t:.1f}s", file=sys.stderr,
+          flush=True)
 
     for start in get_starts(total_length, n_ctx, hop_length):
         end = start + n_ctx
@@ -43,8 +48,11 @@ def get_alignment(x, zs, labels, prior, fp16, hps):
         # one batched attention-recording forward per hop (the reference
         # batches the hop the same way, align.py:42-59)
         import jax.numpy as jnp
+        t = time.time()
         w_hop = prior.z_forward(jnp.asarray(z[:, start:end]), [], y,
                                 fp16=fp16, get_attn_weights=attn_layers)
+        print(f"[align] hop @{start} fwd {time.time() - t:.1f}s",
+              file=sys.stderr, flush=True)
         assert len(w_hop) == 1
         alignment_hop = np.asarray(w_hop[0][:, alignment_head],
                                    dtype=np.float32)

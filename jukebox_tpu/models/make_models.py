@@ -5,6 +5,8 @@ cache jitted apply functions.
 """
 
 import os
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -337,6 +339,7 @@ class PriorRuntime:
                 == (quantize, mesh, cache_int8)):
             return  # already staged in this form (e.g. re-entering _sample)
         self._staged_mode = (quantize, mesh, cache_int8)
+        t_prep = time.time()
         host = jax.tree_util.tree_map(np.asarray, self.params)
         if quantize not in (None, "int8"):
             raise ValueError(f"unknown decode quantization {quantize!r}")
@@ -401,8 +404,15 @@ class PriorRuntime:
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
                 dec, decode_param_specs(dec))
         else:
+            t_xfer = time.time()
             self._staged_light = jax.device_put(light)
             self._staged_dec = jax.device_put(dec)
+            jax.block_until_ready(self._staged_dec)
+            n_bytes = sum(x.nbytes for x in
+                          jax.tree_util.tree_leaves(self._staged_dec))
+            print(f"[stage_decode] prep {t_xfer - t_prep:.1f}s, host->HBM "
+                  f"{n_bytes / 1e9:.2f} GB in {time.time() - t_xfer:.1f}s",
+                  file=sys.stderr, flush=True)
         self.params = host  # raw stays host-resident
 
     # mirrored attributes

@@ -265,23 +265,81 @@ class Transformer:
                 x = x.astype(jnp.float32)
             return x, []
 
-        ws = []
-        layer_keys = (jax.random.split(dropout_rng, self.n_depth)
-                      if drop else None)
-        for d in range(self.n_depth):
-            cfg = self.block_cfg(d)
-            record = d in record_layers
-            enc = encoder_kv if cfg.attn_func == 6 else None
-            key = layer_keys[d] if drop else None
+        # Attention-recording forward. The old fallback unrolled all
+        # n_depth layers flat, which compiled for minutes at 72-layer scale
+        # (alignment was ~330 s of the end-to-end cascade wall, nearly all
+        # XLA compile). Instead keep the decode_plan scan folding and unroll
+        # ONLY the group(s) containing a recorded layer: scan the groups
+        # before it, apply that one group's pattern flat (recording), scan
+        # the groups after. Compile cost is ~the plain scanned forward.
+        # Recording is an eval path; with dropout active fall back to the
+        # flat loop (training never records).
+        if drop:
+            ws = []
+            layer_keys = jax.random.split(dropout_rng, self.n_depth)
+            for d in range(self.n_depth):
+                cfg = self.block_cfg(d)
+                record = d in record_layers
+                enc = encoder_kv if cfg.attn_func == 6 else None
 
-            def block_fn(p, h, _cfg=cfg, _enc=enc, _rec=record, _key=key):
-                return _cfg.apply(p, h, encoder_kv=_enc, record=_rec,
-                                  dropout_rng=_key)
-            if self.checkpoint_res == 1 and not record:
-                block_fn = jax.checkpoint(block_fn)
-            x, w = block_fn(params["blocks"][d], x)
+                def block_fn(p, h, _cfg=cfg, _enc=enc, _rec=record,
+                             _key=layer_keys[d]):
+                    return _cfg.apply(p, h, encoder_kv=_enc, record=_rec,
+                                      dropout_rng=_key)
+                if self.checkpoint_res == 1 and not record:
+                    block_fn = jax.checkpoint(block_fn)
+                x, w = block_fn(params["blocks"][d], x)
+                if record:
+                    ws.append(w)
+            if not fp16_out:
+                x = x.astype(jnp.float32)
+            return x, ws
+
+        ws = []  # (depth, w) pairs; returned in depth order
+        seg_params = self._segment_trees(params["blocks"])
+
+        def apply_flat(x, d, p, record):
+            cfg = self.block_cfg(d)
+            enc = encoder_kv if cfg.attn_func == 6 else None
+            x, w = cfg.apply(p, x, encoder_kv=enc, record=record)
             if record:
-                ws.append(w)
+                ws.append((d, w))
+            return x
+
+        for seg, p_seg in zip(self.decode_plan, seg_params):
+            if seg[0] == "flat":
+                d = seg[1]
+                x = apply_flat(x, d, p_seg, d in record_layers)
+                continue
+            _, pat, starts = seg
+            rec_groups = [g for g, s in enumerate(starts)
+                          if any((s + j) in record_layers
+                                 for j in range(len(pat)))]
+
+            def body(h, gp, _pat=pat):
+                for j, f in enumerate(_pat):
+                    enc = encoder_kv if f == 6 else None
+                    h = self.block_cfg_f(f).apply(gp[j], h,
+                                                  encoder_kv=enc)[0]
+                return h, ()
+
+            def scan_groups(x, g0, g1):
+                if g1 <= g0:
+                    return x
+                p_run = jax.tree_util.tree_map(lambda a: a[g0:g1], p_seg)
+                x, _ = jax.lax.scan(body, x, p_run)
+                return x
+
+            g_prev = 0
+            for g in rec_groups:
+                x = scan_groups(x, g_prev, g)
+                p_g = jax.tree_util.tree_map(lambda a: a[g], p_seg)
+                for j in range(len(pat)):
+                    d = starts[g] + j
+                    x = apply_flat(x, d, p_g[j], d in record_layers)
+                g_prev = g + 1
+            x = scan_groups(x, g_prev, len(starts))
+        ws = [w for _, w in sorted(ws, key=lambda t: t[0])]
         if not fp16_out:
             x = x.astype(jnp.float32)
         return x, ws

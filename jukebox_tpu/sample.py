@@ -9,6 +9,8 @@ device. Outputs: data.jkb (codes+labels), item_*.wav, alignment + html.
 
 import os
 import pickle
+import sys
+import time
 
 import jax
 import numpy as np
@@ -21,6 +23,17 @@ from jukebox_tpu.models.make_models import make_model
 from jukebox_tpu.utils.audio_utils import load_audio, save_wav
 from jukebox_tpu.utils.cli import fire
 from jukebox_tpu.utils.sample_utils import get_starts, split_batch
+
+
+_T0 = None
+
+
+def _tlog(msg):
+    """One stage-timing line per cascade stage (stderr): where the
+    end-to-end wall-clock goes — staging, windows, vqvae decode,
+    alignment, html. The reference logs per window too (sample.py:54)."""
+    t = 0.0 if _T0 is None else time.time() - _T0
+    print(f"[cascade +{t:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def sample_partial_window(zs, labels, sampling_kwargs, level, prior,
@@ -65,6 +78,7 @@ def sample_single_window(zs, labels, sampling_kwargs, level, prior, start,
     max_batch_size = kwargs.pop("max_batch_size")
     kwargs.setdefault("sample_tokens", sample_tokens)
 
+    t_win = time.time()
     z_list = split_batch(z, n_samples, max_batch_size)
     z_conds_list = split_batch(z_conds, n_samples, max_batch_size)
     y_list = split_batch(y, n_samples, max_batch_size)
@@ -76,6 +90,8 @@ def sample_single_window(zs, labels, sampling_kwargs, level, prior, start,
                                    **kwargs)
         z_samples.append(np.asarray(z_samples_i))
     z = np.concatenate(z_samples, axis=0)
+    _tlog(f"level {level} window @{start}: {time.time() - t_win:.1f}s "
+          f"({new_tokens} new tokens, bs {n_samples})")
 
     z_new = z[:, -new_tokens:]
     zs[level] = np.concatenate([zs[level], z_new], axis=1)
@@ -106,24 +122,32 @@ def _finalize_level(zs, labels, sampling_kwargs, priors, level, hps,
     from jukebox_tpu.save_html import save_html
 
     prior = priors[level]
+    t = time.time()
     x = prior.decode(zs[level:], start_level=level,
                      bs_chunks=zs[level].shape[0])
     if hasattr(prior, "to_host"):
         prior.to_host()
+    _tlog(f"level {level} vqvae decode: {time.time() - t:.1f}s")
 
     logdir = f"{hps.name}/level_{level}"
     os.makedirs(logdir, exist_ok=True)
+    t = time.time()
     with open(f"{logdir}/data.jkb", "wb") as f:
         pickle.dump(dict(zs=[np.asarray(z) for z in zs], labels=labels,
                          sampling_kwargs=sampling_kwargs,
                          x=np.asarray(x)), f)
     save_wav(logdir, x, hps.sr)
+    _tlog(f"level {level} data.jkb+wav: {time.time() - t:.1f}s")
     if (alignments is None and priors[-1] is not None
             and priors[-1].n_tokens > 0
             and not isinstance(priors[-1].labeller, EmptyLabeller)):
+        t = time.time()
         alignments = get_alignment(x, zs, labels[-1], priors[-1],
                                    sampling_kwargs[-1].get("fp16", False), hps)
+        _tlog(f"alignment (top fwd + stitch): {time.time() - t:.1f}s")
+    t = time.time()
     save_html(logdir, x, zs, labels[-1], alignments, hps)
+    _tlog(f"level {level} html: {time.time() - t:.1f}s")
     return alignments
 
 
@@ -134,7 +158,9 @@ def _sample_sequential(zs, labels, sampling_kwargs, priors, sample_levels,
         prior = priors[level]
         if hasattr(prior, "stage_decode"):
             # one level's weights in HBM at a time, staged in decode form
+            t = time.time()
             prior.stage_decode()
+            _tlog(f"level {level} stage_decode: {time.time() - t:.1f}s")
         assert hps.sample_length % prior.raw_to_tokens == 0, \
             f"sample_length {hps.sample_length} not a multiple of {prior.raw_to_tokens}"
         total_length = hps.sample_length // prior.raw_to_tokens
@@ -194,7 +220,9 @@ def _sample_pipelined(zs, labels, sampling_kwargs, priors, sample_levels,
         st = state[level]
         prior = priors[level]
         if not st["staged"] and hasattr(prior, "stage_decode"):
+            t = time.time()
             prior.stage_decode()
+            _tlog(f"level {level} stage_decode: {time.time() - t:.1f}s")
             st["staged"] = True
         start = st["windows"][st["next"]]
         if start is None:
@@ -232,6 +260,8 @@ def _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps, rng=None):
     (sample.py:91-121). hps.pipeline_cascade=True (or
     JUKEBOX_PIPELINE=1) interleaves lower-level windows with upper-level
     decoding — identical tokens, overlapped stages."""
+    global _T0
+    _T0 = time.time()
     rng = rng if rng is not None else jax.random.key(hps.get("seed", 0))
     # DEFAULT-ON: token-identical to the sequential cascade (tested) and
     # 22.5% less wall-clock on one chip (PERF.md). JUKEBOX_PIPELINE=0 or

@@ -149,3 +149,43 @@ def test_stacked_decode_order12_prime_layers():
                                    get_preds=True)
     np.testing.assert_allclose(np.asarray(preds_sample2),
                                np.asarray(preds_forw2), atol=2e-4)
+
+
+@pytest.mark.parametrize("attn_order,depth,rec", [
+    (2, 9, {4}),            # recorded layer inside the [1,2,3] scan
+    (2, 9, {0, 8}),         # first and last
+    (10, 20, {13}),         # func-6 cross-attn layer of the 5b schedule
+    (12, 12, {7}),          # 1b single_enc_dec schedule
+])
+def test_attention_recording_matches_flat(attn_order, depth, rec):
+    """The scan-folded attention-recording forward (transformer.apply with
+    record_layers) must equal the naive flat per-layer loop — same final x,
+    same recorded softmax (reference record path: transformer.py:146-167).
+    The folded path only unrolls the group containing a recorded layer, so
+    alignment compiles like the plain forward instead of all n_depth
+    layers."""
+    tr = Transformer(n_in=16, n_ctx=32, n_head=2, n_depth=depth,
+                     attn_order=attn_order, blocks=8, encoder_dims=8,
+                     prime_len=8, mask=True)
+    assert any(s[0] == "scan" for s in tr.decode_plan)
+    params = tr.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 32, 16))
+    enc = jax.random.normal(jax.random.key(2), (2, 8, 16))
+
+    x_new, ws_new = tr.apply(params, x, encoder_kv=enc,
+                             record_layers=frozenset(rec))
+
+    # naive flat loop (the old record path)
+    h = x
+    ws_flat = []
+    for d in range(depth):
+        cfg = tr.block_cfg(d)
+        e = enc if cfg.attn_func == 6 else None
+        h, w = cfg.apply(params["blocks"][d], h, encoder_kv=e,
+                         record=d in rec)
+        if d in rec:
+            ws_flat.append(w)
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(h), atol=1e-5)
+    assert len(ws_new) == len(ws_flat)
+    for a, b in zip(ws_new, ws_flat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
