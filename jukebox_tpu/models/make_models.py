@@ -268,6 +268,47 @@ class VQVAERuntime:
         return x_out, loss, metrics
 
 
+_JIT_SHARE = {}  # SimplePrior.jit_key -> jitted sampling/forward callables
+
+
+def _shared_jits(model):
+    """One set of traced+compiled sampling callables per ARCHITECTURE, not
+    per PriorRuntime instance. Params are explicit arguments to every
+    jitted fn, and SimplePrior.jit_key covers everything that shapes the
+    trace, so the two upsampler levels of a cascade — the same network at
+    different levels — share each compiled graph instead of re-paying
+    trace+compile per level (tens of seconds per window shape on the
+    remote-compile TPU). Token identity is tested
+    (tests/test_pipeline.py::test_jit_sharing_token_identity).
+    JUKEBOX_SHARE_JIT=0 disables sharing."""
+    key = getattr(model, "jit_key", None)
+    share = key is not None and os.environ.get("JUKEBOX_SHARE_JIT", "1") != "0"
+    if share and key in _JIT_SHARE:
+        return _JIT_SHARE[key]
+    ent = dict(
+        sample=jax.jit(
+            model.sample,
+            static_argnames=("n_samples", "fp16", "temp", "top_k", "top_p",
+                             "chunk_size", "sample_tokens")),
+        sample_init=jax.jit(
+            model.sample_init, static_argnames=("n_samples", "fp16",
+                                                "chunk_size", "prefill_mb",
+                                                "cond_bs1")),
+        # caches (arg 1) are donated: each segment consumes the previous
+        # segment's caches in place
+        sample_segment=jax.jit(
+            model.sample_segment,
+            static_argnames=("n_steps", "fp16", "temp", "top_k", "top_p"),
+            donate_argnums=(1,)),
+        z_forward=jax.jit(
+            model.z_forward, static_argnames=("fp16", "get_preds")),
+        z_forward_attn={},  # jitted attn-recording fwd per layer-set
+    )
+    if share:
+        _JIT_SHARE[key] = ent
+    return ent
+
+
 class PriorRuntime:
     """Owns SimplePrior params; mirrors the reference SimplePrior public
     surface used by the sampling/training orchestration (prior.py:27-354).
@@ -282,23 +323,12 @@ class PriorRuntime:
         self.params = params
         self.vqvae = vqvae
         self.step = 0
-        self._sample = jax.jit(
-            model.sample,
-            static_argnames=("n_samples", "fp16", "temp", "top_k", "top_p",
-                             "chunk_size", "sample_tokens"))
-        self._sample_init_jit = jax.jit(
-            model.sample_init, static_argnames=("n_samples", "fp16",
-                                                "chunk_size", "prefill_mb",
-                                                "cond_bs1"))
-        # caches (arg 1) are donated: each segment consumes the previous
-        # segment's caches in place
-        self._sample_segment = jax.jit(
-            model.sample_segment,
-            static_argnames=("n_steps", "fp16", "temp", "top_k", "top_p"),
-            donate_argnums=(1,))
-        self._z_forward = jax.jit(
-            model.z_forward, static_argnames=("fp16", "get_preds"))
-        self._z_forward_attn = {}  # jitted attn-recording fwd per layer-set
+        ent = _shared_jits(model)
+        self._sample = ent["sample"]
+        self._sample_init_jit = ent["sample_init"]
+        self._sample_segment = ent["sample_segment"]
+        self._z_forward = ent["z_forward"]
+        self._z_forward_attn = ent["z_forward_attn"]
         self._staged_light = self._staged_dec = None
         self._staged_mode = None
 

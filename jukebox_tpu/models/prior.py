@@ -32,6 +32,27 @@ class SimplePrior:
                  prior_kwargs, x_cond_kwargs, y_cond_kwargs, prime_kwargs,
                  copy_input=False, labels_v3=False, merged_decoder=False,
                  single_enc_dec=False):
+        # Architecture fingerprint for cross-instance jit sharing
+        # (make_models.PriorRuntime): two priors with equal keys trace
+        # identical sampling/forward graphs, so the second reuses the
+        # first's compiled callables (params are explicit arguments). The
+        # two upsampler levels of a cascade differ only in `level` and
+        # `z_shapes` — both enter the TRACE only through the conditioner's
+        # window shape (z_shapes[level+1], asserted in Conditioner.apply)
+        # and, for top (time-signal) priors, through n_time's absolute
+        # position ranges — so exactly those derived values are keyed.
+        _is_top = level == len(z_shapes) - 1
+        self.jit_key = repr((
+            type(self).__name__, l_bins, bool(labels), labels_v3, copy_input,
+            merged_decoder, single_enc_dec,
+            sorted(prior_kwargs.items()),
+            None if _is_top else (sorted(x_cond_kwargs.items()),
+                                  tuple(z_shapes[level + 1]),
+                                  downs_t[level + 1], strides_t[level + 1]),
+            (sorted(y_cond_kwargs.items()),
+             z_shapes[level][0] if _is_top else None) if labels else None,
+            sorted(prime_kwargs.items()),
+        ))
         prime_kwargs = dict(prime_kwargs)
         prior_kwargs = dict(prior_kwargs)
         self.use_tokens = prime_kwargs.pop("use_tokens")

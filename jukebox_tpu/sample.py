@@ -151,9 +151,53 @@ def _finalize_level(zs, labels, sampling_kwargs, priors, level, hps,
     return alignments
 
 
+class _FinalizePipe:
+    """Run _finalize_level calls on one background worker thread, chained
+    (level N's alignments feed level N-1's html). The vqvae decode, wav
+    write, alignment forward, and PNG/html rendering of a finished level
+    then overlap the next level's sampling windows instead of blocking
+    them — the host work leaves the device free, and the worker's device
+    calls interleave with the short sampling segments. Content is
+    identical to inline finalize: the zs snapshot is taken at the same
+    logical point (a list copy — window sampling replaces, never mutates,
+    the per-level arrays). JUKEBOX_ASYNC_FINALIZE=0 restores inline."""
+
+    def __init__(self):
+        on = os.environ.get("JUKEBOX_ASYNC_FINALIZE", "1") != "0"
+        self._pool = None
+        if on:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="finalize")
+        self._tail = None  # future holding the latest alignments
+
+    def submit(self, zs, labels, sampling_kwargs, priors, level, hps):
+        zs_snap = list(zs)
+        prev = self._tail
+
+        def work():
+            alignments = prev.result() if prev is not None else None
+            return _finalize_level(zs_snap, labels, sampling_kwargs, priors,
+                                   level, hps, alignments)
+        if self._pool is None:
+            r = work()
+            import concurrent.futures as cf
+            f = cf.Future()
+            f.set_result(r)
+            self._tail = f
+        else:
+            self._tail = self._pool.submit(work)
+
+    def join(self):
+        if self._tail is not None:
+            self._tail.result()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+
+
 def _sample_sequential(zs, labels, sampling_kwargs, priors, sample_levels,
                        hps, rng):
-    alignments = None
+    fin = _FinalizePipe()
     for level in reversed(sample_levels):
         prior = priors[level]
         if hasattr(prior, "stage_decode"):
@@ -168,8 +212,8 @@ def _sample_sequential(zs, labels, sampling_kwargs, priors, sample_levels,
         zs = sample_level(zs, labels[level], sampling_kwargs[level], level,
                           prior, total_length, hop_length, hps,
                           jax.random.fold_in(rng, level))
-        alignments = _finalize_level(zs, labels, sampling_kwargs, priors,
-                                     level, hps, alignments)
+        fin.submit(zs, labels, sampling_kwargs, priors, level, hps)
+    fin.join()
     return zs
 
 
@@ -185,7 +229,7 @@ def _sample_pipelined(zs, labels, sampling_kwargs, priors, sample_levels,
     cascade. With levels placed on separate mesh slices the stages overlap
     in wall-clock; on one chip it reaches first audio sooner and keeps
     every level's weights staged at most once."""
-    alignments = None
+    fin = _FinalizePipe()
     state = {}
     for level in reversed(sample_levels):
         prior = priors[level]
@@ -250,8 +294,8 @@ def _sample_pipelined(zs, labels, sampling_kwargs, priors, sample_levels,
             st = state[level]
             if st["next"] == len(st["windows"]) and not st.get("done"):
                 st["done"] = True
-                alignments = _finalize_level(zs, labels, sampling_kwargs,
-                                             priors, level, hps, alignments)
+                fin.submit(zs, labels, sampling_kwargs, priors, level, hps)
+    fin.join()
     return zs
 
 

@@ -124,3 +124,48 @@ def test_pipelined_cascade_token_identical(tiny_models, tmp_path):
         np.testing.assert_array_equal(a, b)
     for level in (0, 1):
         assert os.path.exists(f"{hps_pipe.name}/level_{level}/item_0.wav")
+
+
+def test_jit_sharing_token_identity(monkeypatch):
+    """The two upsampler levels of a cascade share one set of compiled
+    sampling callables (same SimplePrior.jit_key; make_models._shared_jits):
+    tokens from the shared graphs must equal a JUKEBOX_SHARE_JIT=0 build
+    where every PriorRuntime jits its own."""
+    import jax
+
+    def build():
+        vq_hps = setup_hparams("teeny", dict(
+            sample_length=512, sr=8000, levels=3, downs_t=(1, 1, 1),
+            strides_t=(2, 2, 2), emb_width=16, l_bins=64, l_mu=0.99,
+            commit=0.02, width=8, depth=2, m_conv=1.0,
+            dilation_growth_rate=1))
+        vqvae = make_vqvae(vq_hps)
+        ups = []
+        for level in (0, 1):
+            hps = setup_hparams("teeny", dict(
+                sample_length=512, sr=8000, level=level, levels=3,
+                labels=False, n_ctx=32, prior_width=32, prior_depth=3,
+                heads=2, attn_order=2, blocks=8, init_scale=0.7,
+                cond_width=16, cond_depth=2, cond_dilation_growth_rate=1,
+                min_duration=1.0, max_duration=600.0))
+            ups.append(make_prior(hps, vqvae))
+        return ups
+
+    def window_tokens(prior):
+        z_cond = np.asarray(
+            jax.random.randint(jax.random.key(7), (2, 16), 0, 64))
+        z = prior.sample(n_samples=2, z=None, z_conds=[z_cond], y=None,
+                         rng=jax.random.key(11), temp=1.0)
+        return np.asarray(z)
+
+    monkeypatch.setenv("JUKEBOX_SHARE_JIT", "1")
+    u0, u1 = build()
+    assert u0.model.jit_key == u1.model.jit_key
+    assert u0._sample_segment is u1._sample_segment
+    shared0, shared1 = window_tokens(u0), window_tokens(u1)
+
+    monkeypatch.setenv("JUKEBOX_SHARE_JIT", "0")
+    v0, v1 = build()
+    assert v0._sample_segment is not v1._sample_segment
+    np.testing.assert_array_equal(shared0, window_tokens(v0))
+    np.testing.assert_array_equal(shared1, window_tokens(v1))
