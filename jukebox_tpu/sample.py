@@ -195,16 +195,60 @@ class _FinalizePipe:
             self._pool.shutdown(wait=True)
 
 
+class _StagePipe:
+    """Pre-stage the NEXT level's decode weights (host packing +
+    host->HBM transfer, make_models.stage_decode) on one background
+    thread while the current level decodes. Bounded to one level ahead:
+    `ensure(level)` blocks until that level is staged, then kicks off the
+    level below — so extra HBM residency never exceeds what the cascade
+    would hold anyway (the pipelined scheduler keeps every staged level
+    resident). device_put is thread-safe; transfers overlap device
+    compute. JUKEBOX_ASYNC_STAGE=0 restores synchronous staging."""
+
+    def __init__(self, priors, sample_levels):
+        self._priors = priors
+        self._order = list(reversed(sample_levels))  # top first
+        self._futs = {}
+        self._pool = None
+        if os.environ.get("JUKEBOX_ASYNC_STAGE", "1") != "0":
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="stager")
+
+    def _kick(self, level):
+        prior = self._priors[level]
+        if level in self._futs or not hasattr(prior, "stage_decode"):
+            return
+        if self._pool is not None:
+            self._futs[level] = self._pool.submit(prior.stage_decode)
+
+    def ensure(self, level):
+        """Block until `level` is staged; start pre-staging the next one."""
+        prior = self._priors[level]
+        if hasattr(prior, "stage_decode"):
+            t = time.time()
+            fut = self._futs.get(level)
+            if fut is not None:
+                fut.result()
+            else:
+                prior.stage_decode()
+            _tlog(f"level {level} stage_decode wait: {time.time() - t:.1f}s")
+        i = self._order.index(level)
+        if i + 1 < len(self._order):
+            self._kick(self._order[i + 1])
+
+    def shutdown(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+
+
 def _sample_sequential(zs, labels, sampling_kwargs, priors, sample_levels,
                        hps, rng):
     fin = _FinalizePipe()
+    stager = _StagePipe(priors, sample_levels)
     for level in reversed(sample_levels):
         prior = priors[level]
-        if hasattr(prior, "stage_decode"):
-            # one level's weights in HBM at a time, staged in decode form
-            t = time.time()
-            prior.stage_decode()
-            _tlog(f"level {level} stage_decode: {time.time() - t:.1f}s")
+        stager.ensure(level)
         assert hps.sample_length % prior.raw_to_tokens == 0, \
             f"sample_length {hps.sample_length} not a multiple of {prior.raw_to_tokens}"
         total_length = hps.sample_length // prior.raw_to_tokens
@@ -214,6 +258,7 @@ def _sample_sequential(zs, labels, sampling_kwargs, priors, sample_levels,
                           jax.random.fold_in(rng, level))
         fin.submit(zs, labels, sampling_kwargs, priors, level, hps)
     fin.join()
+    stager.shutdown()
     return zs
 
 
@@ -230,6 +275,7 @@ def _sample_pipelined(zs, labels, sampling_kwargs, priors, sample_levels,
     in wall-clock; on one chip it reaches first audio sooner and keeps
     every level's weights staged at most once."""
     fin = _FinalizePipe()
+    stager = _StagePipe(priors, sample_levels)
     state = {}
     for level in reversed(sample_levels):
         prior = priors[level]
@@ -263,10 +309,8 @@ def _sample_pipelined(zs, labels, sampling_kwargs, priors, sample_levels,
     def run_next(level):
         st = state[level]
         prior = priors[level]
-        if not st["staged"] and hasattr(prior, "stage_decode"):
-            t = time.time()
-            prior.stage_decode()
-            _tlog(f"level {level} stage_decode: {time.time() - t:.1f}s")
+        if not st["staged"]:
+            stager.ensure(level)
             st["staged"] = True
         start = st["windows"][st["next"]]
         if start is None:
@@ -296,6 +340,7 @@ def _sample_pipelined(zs, labels, sampling_kwargs, priors, sample_levels,
                 st["done"] = True
                 fin.submit(zs, labels, sampling_kwargs, priors, level, hps)
     fin.join()
+    stager.shutdown()
     return zs
 
 
