@@ -455,18 +455,23 @@ def main():
     details.update(cascade_s=round(t_total, 1), audio_sec=audio_sec,
                    compile_s=round(compile_total, 1), notes=notes,
                    value=round(value, 3))
+    # per-model details file: 1b (the default) keeps the historical name,
+    # other models (e.g. 5b_lyrics) get their own so runs don't clobber
+    # each other's ground-truth rows
+    details_path = ("bench_details.json" if model == "1b_lyrics"
+                    else f"bench_details_{model.split('_')[0]}.json")
     if "full_cascade" not in details:
         # carry the last MEASURED end-to-end wall-clock forward so a plain
         # (BENCH_FULL_CASCADE unset) run doesn't erase the ground-truth row
         try:
-            with open("bench_details.json") as f:
+            with open(details_path) as f:
                 prev = json.load(f).get("full_cascade")
             if prev and prev.get("model", model) == model:
                 details["full_cascade"] = dict(prev, carried_forward=True)
         except (OSError, ValueError):
             pass
     try:
-        with open("bench_details.json", "w") as f:
+        with open(details_path, "w") as f:
             json.dump(details, f, indent=1)
     except OSError:
         pass

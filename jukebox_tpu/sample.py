@@ -113,18 +113,21 @@ def sample_level(zs, labels, sampling_kwargs, level, prior, total_length,
     return zs
 
 
-def _finalize_level(zs, labels, sampling_kwargs, priors, level, hps,
-                    alignments):
-    """Decode this level's codes to audio + save data/wav/align/html (the
-    tail of the reference's per-level loop, sample.py:104-121). Returns the
-    (possibly newly computed) alignments."""
-    from jukebox_tpu.align import get_alignment
-    from jukebox_tpu.save_html import save_html
-
+def _decode_save_level(zs, labels, sampling_kwargs, priors, level, hps):
+    """vqvae decode + data.jkb + wav for one level — the alignment-free
+    half of the reference's per-level tail (sample.py:104-117).
+    Independent of the other levels; returns x for the html stage."""
     prior = priors[level]
     t = time.time()
+    # decode in chunks of JUKEBOX_DECODE_CHUNK_BS samples (default 4)
+    # rather than one device call per item: on the remote transport each
+    # call is a round trip that queues behind in-flight sampling segments,
+    # so fewer/larger chunks cut the finalize tail ~4x. Lower to 1-2 if
+    # the decoder transients OOM next to staged weights + ring caches.
+    bs = zs[level].shape[0]
+    chunk_bs = max(1, int(os.environ.get("JUKEBOX_DECODE_CHUNK_BS", "4")))
     x = prior.decode(zs[level:], start_level=level,
-                     bs_chunks=zs[level].shape[0])
+                     bs_chunks=max(1, -(-bs // chunk_bs)))
     if hasattr(prior, "to_host"):
         prior.to_host()
     _tlog(f"level {level} vqvae decode: {time.time() - t:.1f}s")
@@ -138,61 +141,107 @@ def _finalize_level(zs, labels, sampling_kwargs, priors, level, hps,
                          x=np.asarray(x)), f)
     save_wav(logdir, x, hps.sr)
     _tlog(f"level {level} data.jkb+wav: {time.time() - t:.1f}s")
-    if (alignments is None and priors[-1] is not None
-            and priors[-1].n_tokens > 0
-            and not isinstance(priors[-1].labeller, EmptyLabeller)):
-        t = time.time()
-        alignments = get_alignment(x, zs, labels[-1], priors[-1],
-                                   sampling_kwargs[-1].get("fp16", False), hps)
-        _tlog(f"alignment (top fwd + stitch): {time.time() - t:.1f}s")
+    return x
+
+
+def _compute_alignments(zs, labels, sampling_kwargs, priors, hps):
+    """Lyric alignment from the top prior's recorded attention
+    (sample.py:118-119); None when the model has no lyric conditioning."""
+    from jukebox_tpu.align import get_alignment
+
+    if (priors[-1] is None or priors[-1].n_tokens == 0
+            or isinstance(priors[-1].labeller, EmptyLabeller)):
+        return None
     t = time.time()
+    alignments = get_alignment(None, zs, labels[-1], priors[-1],
+                               sampling_kwargs[-1].get("fp16", False), hps)
+    _tlog(f"alignment (top fwd + stitch): {time.time() - t:.1f}s")
+    return alignments
+
+
+def _html_level(x, zs, labels, level, hps, alignments):
+    from jukebox_tpu.save_html import save_html
+
+    t = time.time()
+    logdir = f"{hps.name}/level_{level}"
     save_html(logdir, x, zs, labels[-1], alignments, hps)
     _tlog(f"level {level} html: {time.time() - t:.1f}s")
+
+
+def _finalize_level(zs, labels, sampling_kwargs, priors, level, hps,
+                    alignments):
+    """Inline per-level tail: decode/save, compute alignments once (at the
+    first finalized level, i.e. top), then html. Returns the alignments."""
+    x = _decode_save_level(zs, labels, sampling_kwargs, priors, level, hps)
+    if alignments is None:
+        alignments = _compute_alignments(zs, labels, sampling_kwargs,
+                                         priors, hps)
+    _html_level(x, zs, labels, level, hps, alignments)
     return alignments
 
 
 class _FinalizePipe:
-    """Run _finalize_level calls on one background worker thread, chained
-    (level N's alignments feed level N-1's html). The vqvae decode, wav
-    write, alignment forward, and PNG/html rendering of a finished level
-    then overlap the next level's sampling windows instead of blocking
-    them — the host work leaves the device free, and the worker's device
-    calls interleave with the short sampling segments. Content is
-    identical to inline finalize: the zs snapshot is taken at the same
-    logical point (a list copy — window sampling replaces, never mutates,
-    the per-level arrays). JUKEBOX_ASYNC_FINALIZE=0 restores inline."""
+    """Run the per-level finalize tail on background workers so it
+    overlaps the remaining levels' sampling windows. Two independent
+    chains per the real dependency structure: decode/save (vqvae decode,
+    data.jkb, wav — per-level, alignment-free) runs on one worker in
+    submit order; the alignment (one top-prior recording forward, needed
+    by every level's html) runs on a second worker as soon as the top
+    level finishes; each level's html waits on exactly its own decode +
+    the shared alignment. A level's wav/data therefore never queues
+    behind the alignment forward, which was the serialized tail of the
+    chained design. Content is identical to inline finalize: the zs
+    snapshot is taken at the same logical point (a list copy — window
+    sampling replaces, never mutates, the per-level arrays).
+    JUKEBOX_ASYNC_FINALIZE=0 restores inline."""
 
     def __init__(self):
         on = os.environ.get("JUKEBOX_ASYNC_FINALIZE", "1") != "0"
-        self._pool = None
+        self._dec_pool = self._aux_pool = None
         if on:
             from concurrent.futures import ThreadPoolExecutor
-            self._pool = ThreadPoolExecutor(max_workers=1,
-                                            thread_name_prefix="finalize")
-        self._tail = None  # future holding the latest alignments
+            self._dec_pool = ThreadPoolExecutor(max_workers=1,
+                                                thread_name_prefix="finalize")
+            self._aux_pool = ThreadPoolExecutor(max_workers=2,
+                                                thread_name_prefix="align")
+        self._align_fut = None
+        self._tails = []
+        self._inline_alignments = None
+        self._inline_done = False
 
     def submit(self, zs, labels, sampling_kwargs, priors, level, hps):
         zs_snap = list(zs)
-        prev = self._tail
+        if self._dec_pool is None:
+            if not self._inline_done:
+                self._inline_alignments = _compute_alignments(
+                    zs_snap, labels, sampling_kwargs, priors, hps)
+                self._inline_done = True
+            x = _decode_save_level(zs_snap, labels, sampling_kwargs, priors,
+                                   level, hps)
+            _html_level(x, zs_snap, labels, level, hps,
+                        self._inline_alignments)
+            return
+        if self._align_fut is None:
+            # first finalized level = top: its codes are what the
+            # alignment forward consumes
+            self._align_fut = self._aux_pool.submit(
+                _compute_alignments, zs_snap, labels, sampling_kwargs,
+                priors, hps)
+        dec_fut = self._dec_pool.submit(_decode_save_level, zs_snap, labels,
+                                        sampling_kwargs, priors, level, hps)
+        align_fut = self._align_fut
 
-        def work():
-            alignments = prev.result() if prev is not None else None
-            return _finalize_level(zs_snap, labels, sampling_kwargs, priors,
-                                   level, hps, alignments)
-        if self._pool is None:
-            r = work()
-            import concurrent.futures as cf
-            f = cf.Future()
-            f.set_result(r)
-            self._tail = f
-        else:
-            self._tail = self._pool.submit(work)
+        def html_work():
+            _html_level(dec_fut.result(), zs_snap, labels, level, hps,
+                        align_fut.result())
+        self._tails.append(self._aux_pool.submit(html_work))
 
     def join(self):
-        if self._tail is not None:
-            self._tail.result()
-        if self._pool is not None:
-            self._pool.shutdown(wait=True)
+        for f in self._tails:
+            f.result()
+        if self._dec_pool is not None:
+            self._dec_pool.shutdown(wait=True)
+            self._aux_pool.shutdown(wait=True)
 
 
 class _StagePipe:
