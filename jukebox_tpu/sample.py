@@ -119,15 +119,17 @@ def _decode_save_level(zs, labels, sampling_kwargs, priors, level, hps):
     Independent of the other levels; returns x for the html stage."""
     prior = priors[level]
     t = time.time()
-    # decode in chunks of JUKEBOX_DECODE_CHUNK_BS samples (default 4)
+    # decode in chunks of JUKEBOX_DECODE_CHUNK_BS samples (default 2)
     # rather than one device call per item: on the remote transport each
-    # call is a round trip that queues behind in-flight sampling segments,
-    # so fewer/larger chunks cut the finalize tail ~4x. Lower to 1-2 if
-    # the decoder transients OOM next to staged weights + ring caches.
+    # call is a synchronous round trip that interleaves with in-flight
+    # sampling segments, so fewer/larger chunks halve the finalize tail.
+    # 2 keeps the fp32 decoder transients ~1.5-3 GB — bs=4 chunks measured
+    # an HBM-pressure stall next to staged weights + live ring caches.
     bs = zs[level].shape[0]
-    chunk_bs = max(1, int(os.environ.get("JUKEBOX_DECODE_CHUNK_BS", "4")))
+    chunk_bs = max(1, int(os.environ.get("JUKEBOX_DECODE_CHUNK_BS", "2")))
     x = prior.decode(zs[level:], start_level=level,
                      bs_chunks=max(1, -(-bs // chunk_bs)))
+    x_np = np.asarray(x)  # one device->host transfer, reused below
     if hasattr(prior, "to_host"):
         prior.to_host()
     _tlog(f"level {level} vqvae decode: {time.time() - t:.1f}s")
@@ -138,10 +140,10 @@ def _decode_save_level(zs, labels, sampling_kwargs, priors, level, hps):
     with open(f"{logdir}/data.jkb", "wb") as f:
         pickle.dump(dict(zs=[np.asarray(z) for z in zs], labels=labels,
                          sampling_kwargs=sampling_kwargs,
-                         x=np.asarray(x)), f)
-    save_wav(logdir, x, hps.sr)
+                         x=x_np), f)
+    save_wav(logdir, x_np, hps.sr)
     _tlog(f"level {level} data.jkb+wav: {time.time() - t:.1f}s")
-    return x
+    return x_np
 
 
 def _compute_alignments(zs, labels, sampling_kwargs, priors, hps):
