@@ -63,6 +63,22 @@ class BudgetExceeded(Exception):
     pass
 
 
+def _provenance():
+    """git sha + UTC date stamped into measured rows, so a row carried
+    forward by a later run can never masquerade as current."""
+    import subprocess
+    try:
+        sha = subprocess.run(["git", "-C", os.path.dirname(__file__) or ".",
+                              "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             timeout=10).stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001 — provenance is best-effort
+        sha = "unknown"
+    return dict(git_sha=sha,
+                measured_at=time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()))
+
+
 def _alarm(signum, frame):
     raise BudgetExceeded()
 
@@ -182,6 +198,7 @@ def main():
 
     os.environ.setdefault("JUKEBOX_INIT_CACHE", "1")
     os.environ.setdefault("JUKEBOX_STAGE_CACHE", "1")
+    os.environ.setdefault("JUKEBOX_VERBOSE", "1")  # staging telemetry
     n_samples = int(os.environ.get("BENCH_N_SAMPLES", "16"))
     model = os.environ.get("BENCH_MODEL", "1b_lyrics")
     phases = os.environ.get("BENCH_PHASES", "top,up_anc,up_primed").split(",")
@@ -390,13 +407,18 @@ def main():
         log(f"full cascade: {wall:.1f}s wall (incl. compile/staging) for "
             f"{audio:.1f} audio-sec at bs={cascade_bs} -> "
             f"{full_rate:.1f} audio-sec/chip-hour measured end-to-end")
-        details["full_cascade"] = dict(
+        # BENCH_CASCADE_ROW names the details row: the cold/warm-start A/B
+        # (VERDICT r3 #4) records a first-invocation run as
+        # full_cascade_cold and the warm rerun as full_cascade
+        row = os.environ.get("BENCH_CASCADE_ROW", "full_cascade")
+        details[row] = dict(
             wall_s=round(wall, 1), audio_sec=audio, bs=cascade_bs,
             model=model, quantize=quantize or "bf16",
             pipelined=os.environ.get("JUKEBOX_PIPELINE", "1") != "0",
             audio_sec_per_chip_hour=round(full_rate, 2),
             note="wall-clock includes compile + host->HBM staging; "
-                 "steady-state rates are the phase rows")
+                 "steady-state rates are the phase rows",
+            **_provenance())
 
     # ---- extrapolate to the full cascade -----------------------------------
     # cascade = one full top window + the exact window schedule of the two
@@ -454,20 +476,24 @@ def main():
                  "wall-clock under full_cascade.")
     details.update(cascade_s=round(t_total, 1), audio_sec=audio_sec,
                    compile_s=round(compile_total, 1), notes=notes,
-                   value=round(value, 3))
+                   value=round(value, 3), **_provenance())
     # per-model details file: 1b (the default) keeps the historical name,
     # other models (e.g. 5b_lyrics) get their own so runs don't clobber
     # each other's ground-truth rows
     details_path = ("bench_details.json" if model == "1b_lyrics"
                     else f"bench_details_{model.split('_')[0]}.json")
-    if "full_cascade" not in details:
+    for row in ("full_cascade", "full_cascade_cold"):
+        if row in details:
+            continue
         # carry the last MEASURED end-to-end wall-clock forward so a plain
-        # (BENCH_FULL_CASCADE unset) run doesn't erase the ground-truth row
+        # (BENCH_FULL_CASCADE unset) run doesn't erase the ground-truth row;
+        # carried rows keep their original git_sha/measured_at provenance
+        # and are marked carried_forward
         try:
             with open(details_path) as f:
-                prev = json.load(f).get("full_cascade")
+                prev = json.load(f).get(row)
             if prev and prev.get("model", model) == model:
-                details["full_cascade"] = dict(prev, carried_forward=True)
+                details[row] = dict(prev, carried_forward=True)
         except (OSError, ValueError):
             pass
     try:

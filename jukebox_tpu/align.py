@@ -5,10 +5,15 @@ per-hop (n_ctx, n_tokens) attention maps into a full
 (total_length, n_lyric_chars) alignment using each hop's lyric-window source
 indices (align.py:15-83)."""
 
+import time
+
 import numpy as np
+
+import jax.numpy as jnp
 
 from jukebox_tpu.hparams import Hyperparams
 from jukebox_tpu.utils.cli import fire
+from jukebox_tpu.utils.misc import vlog
 from jukebox_tpu.utils.sample_utils import get_starts
 
 
@@ -30,13 +35,10 @@ def get_alignment(x, zs, labels, prior, fp16, hps):
     attn_layers = {alignment_layer}
     alignment_hops, indices_hops = {}, {}
 
-    import sys
-    import time
     t = time.time()
     if hasattr(prior, "to_device"):
         prior.to_device()  # reference: prior.cuda() (align.py:34)
-    print(f"[align] to_device {time.time() - t:.1f}s", file=sys.stderr,
-          flush=True)
+    vlog(f"[align] to_device {time.time() - t:.1f}s")
 
     for start in get_starts(total_length, n_ctx, hop_length):
         end = start + n_ctx
@@ -47,12 +49,10 @@ def get_alignment(x, zs, labels, prior, fp16, hps):
 
         # one batched attention-recording forward per hop (the reference
         # batches the hop the same way, align.py:42-59)
-        import jax.numpy as jnp
         t = time.time()
         w_hop = prior.z_forward(jnp.asarray(z[:, start:end]), [], y,
                                 fp16=fp16, get_attn_weights=attn_layers)
-        print(f"[align] hop @{start} fwd {time.time() - t:.1f}s",
-              file=sys.stderr, flush=True)
+        vlog(f"[align] hop @{start} fwd {time.time() - t:.1f}s")
         assert len(w_hop) == 1
         alignment_hop = np.asarray(w_hop[0][:, alignment_head],
                                    dtype=np.float32)

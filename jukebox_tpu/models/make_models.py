@@ -6,6 +6,7 @@ cache jitted apply functions.
 
 import os
 import sys
+import threading
 import time
 
 import jax
@@ -17,6 +18,7 @@ from jukebox_tpu.models.encdec import BlockCfg
 from jukebox_tpu.models.prior import SimplePrior
 from jukebox_tpu.models.vqvae import VQVAE, calculate_strides
 from jukebox_tpu.utils.checkpoints import load_checkpoint, save_checkpoint
+from jukebox_tpu.utils.misc import vlog
 
 import contextlib
 
@@ -269,6 +271,17 @@ class VQVAERuntime:
 
 
 _JIT_SHARE = {}  # SimplePrior.jit_key -> jitted sampling/forward callables
+# each entry pins its first SimplePrior (bound methods) + compiled
+# executables for as long as it lives; bound so long-lived processes that
+# build many distinct architectures (servers, test suites) don't
+# accumulate dead compile caches. LRU on insertion order.
+_JIT_SHARE_MAX = 8
+
+
+def clear_jit_share():
+    """Drop all shared compiled sampling graphs (tests/servers that build
+    many model configs call this to release pinned models + executables)."""
+    _JIT_SHARE.clear()
 
 
 def _shared_jits(model):
@@ -284,6 +297,7 @@ def _shared_jits(model):
     key = getattr(model, "jit_key", None)
     share = key is not None and os.environ.get("JUKEBOX_SHARE_JIT", "1") != "0"
     if share and key in _JIT_SHARE:
+        _JIT_SHARE[key] = _JIT_SHARE.pop(key)  # LRU touch
         return _JIT_SHARE[key]
     ent = dict(
         sample=jax.jit(
@@ -306,6 +320,8 @@ def _shared_jits(model):
     )
     if share:
         _JIT_SHARE[key] = ent
+        while len(_JIT_SHARE) > _JIT_SHARE_MAX:
+            _JIT_SHARE.pop(next(iter(_JIT_SHARE)))
     return ent
 
 
@@ -331,16 +347,26 @@ class PriorRuntime:
         self._z_forward_attn = ent["z_forward_attn"]
         self._staged_light = self._staged_dec = None
         self._staged_mode = None
+        # serializes param residency moves: the async cascade runs decode,
+        # alignment and pre-staging on separate threads that all
+        # read-modify-write self.params / the staged trees
+        self._move_lock = threading.RLock()
 
     def to_host(self):
-        self.params = jax.tree_util.tree_map(np.asarray, self.params)
-        self._staged_light = self._staged_dec = None
-        self._staged_mode = None
+        with self._move_lock:
+            self.params = jax.tree_util.tree_map(np.asarray, self.params)
+            self._staged_light = self._staged_dec = None
+            self._staged_mode = None
 
     def to_device(self):
-        self.params = jax.device_put(self.params)
+        with self._move_lock:
+            self.params = jax.device_put(self.params)
 
     def stage_decode(self, quantize=None, mesh=None):
+        with self._move_lock:
+            return self._stage_decode(quantize=quantize, mesh=mesh)
+
+    def _stage_decode(self, quantize=None, mesh=None):
         """Stage the SAMPLING form on device: segment-stacked transformer
         params (stacked host-side with numpy) plus the remaining 'light'
         params. Zero-copy: the raw per-layer transformer weights never exist
@@ -440,9 +466,8 @@ class PriorRuntime:
             jax.block_until_ready(self._staged_dec)
             n_bytes = sum(x.nbytes for x in
                           jax.tree_util.tree_leaves(self._staged_dec))
-            print(f"[stage_decode] prep {t_xfer - t_prep:.1f}s, host->HBM "
-                  f"{n_bytes / 1e9:.2f} GB in {time.time() - t_xfer:.1f}s",
-                  file=sys.stderr, flush=True)
+            vlog(f"[stage_decode] prep {t_xfer - t_prep:.1f}s, host->HBM "
+                 f"{n_bytes / 1e9:.2f} GB in {time.time() - t_xfer:.1f}s")
         self.params = host  # raw stays host-resident
 
     # mirrored attributes

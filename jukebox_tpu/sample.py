@@ -170,18 +170,6 @@ def _html_level(x, zs, labels, level, hps, alignments):
     _tlog(f"level {level} html: {time.time() - t:.1f}s")
 
 
-def _finalize_level(zs, labels, sampling_kwargs, priors, level, hps,
-                    alignments):
-    """Inline per-level tail: decode/save, compute alignments once (at the
-    first finalized level, i.e. top), then html. Returns the alignments."""
-    x = _decode_save_level(zs, labels, sampling_kwargs, priors, level, hps)
-    if alignments is None:
-        alignments = _compute_alignments(zs, labels, sampling_kwargs,
-                                         priors, hps)
-    _html_level(x, zs, labels, level, hps, alignments)
-    return alignments
-
-
 class _FinalizePipe:
     """Run the per-level finalize tail on background workers so it
     overlaps the remaining levels' sampling windows. Two independent
@@ -192,10 +180,14 @@ class _FinalizePipe:
     level finishes; each level's html waits on exactly its own decode +
     the shared alignment. A level's wav/data therefore never queues
     behind the alignment forward, which was the serialized tail of the
-    chained design. Content is identical to inline finalize: the zs
-    snapshot is taken at the same logical point (a list copy — window
-    sampling replaces, never mutates, the per-level arrays).
-    JUKEBOX_ASYNC_FINALIZE=0 restores inline."""
+    chained design. The alignment is ordered AFTER the top level's
+    decode/save: _decode_save_level ends with prior.to_host(), so the
+    top prior's staged decode weights leave HBM before get_alignment's
+    to_device puts the raw params back — the two never coexist (at 5B
+    scale either alone is most of a chip). Content is identical to
+    inline finalize: the zs snapshot is taken at the same logical point
+    (a list copy — window sampling replaces, never mutates, the
+    per-level arrays). JUKEBOX_ASYNC_FINALIZE=0 restores inline."""
 
     def __init__(self):
         on = os.environ.get("JUKEBOX_ASYNC_FINALIZE", "1") != "0"
@@ -214,23 +206,33 @@ class _FinalizePipe:
     def submit(self, zs, labels, sampling_kwargs, priors, level, hps):
         zs_snap = list(zs)
         if self._dec_pool is None:
+            # decode/save FIRST: it ends with prior.to_host(), so the
+            # alignment's to_device of raw top-prior params never overlaps
+            # the still-staged decode weights (peak-HBM ordering matches
+            # the async path)
+            x = _decode_save_level(zs_snap, labels, sampling_kwargs, priors,
+                                   level, hps)
             if not self._inline_done:
                 self._inline_alignments = _compute_alignments(
                     zs_snap, labels, sampling_kwargs, priors, hps)
                 self._inline_done = True
-            x = _decode_save_level(zs_snap, labels, sampling_kwargs, priors,
-                                   level, hps)
             _html_level(x, zs_snap, labels, level, hps,
                         self._inline_alignments)
             return
-        if self._align_fut is None:
-            # first finalized level = top: its codes are what the
-            # alignment forward consumes
-            self._align_fut = self._aux_pool.submit(
-                _compute_alignments, zs_snap, labels, sampling_kwargs,
-                priors, hps)
         dec_fut = self._dec_pool.submit(_decode_save_level, zs_snap, labels,
                                         sampling_kwargs, priors, level, hps)
+        if self._align_fut is None:
+            # first finalized level = top: its codes are what the
+            # alignment forward consumes. Wait for the top decode first —
+            # it releases the top prior's staged weights (to_host) before
+            # the alignment re-stages the raw params.
+            top_dec = dec_fut
+
+            def align_work():
+                top_dec.result()
+                return _compute_alignments(zs_snap, labels, sampling_kwargs,
+                                           priors, hps)
+            self._align_fut = self._aux_pool.submit(align_work)
         align_fut = self._align_fut
 
         def html_work():
@@ -254,14 +256,23 @@ class _StagePipe:
     level below — so extra HBM residency never exceeds what the cascade
     would hold anyway (the pipelined scheduler keeps every staged level
     resident). device_put is thread-safe; transfers overlap device
-    compute. JUKEBOX_ASYNC_STAGE=0 restores synchronous staging."""
+    compute.
 
-    def __init__(self, priors, sample_levels):
+    Pre-staging defaults ON only under the pipelined scheduler, whose
+    memory model already keeps every staged level resident; the
+    sequential scheduler (JUKEBOX_PIPELINE=0) is the documented
+    memory-conservative fallback — one level's weights in HBM at a time —
+    so there it defaults OFF. JUKEBOX_ASYNC_STAGE=1/0 overrides either
+    way."""
+
+    def __init__(self, priors, sample_levels, prestage=True):
         self._priors = priors
         self._order = list(reversed(sample_levels))  # top first
         self._futs = {}
         self._pool = None
-        if os.environ.get("JUKEBOX_ASYNC_STAGE", "1") != "0":
+        env = os.environ.get("JUKEBOX_ASYNC_STAGE")
+        on = (env != "0") if env is not None else prestage
+        if on:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(max_workers=1,
                                             thread_name_prefix="stager")
@@ -296,7 +307,7 @@ class _StagePipe:
 def _sample_sequential(zs, labels, sampling_kwargs, priors, sample_levels,
                        hps, rng):
     fin = _FinalizePipe()
-    stager = _StagePipe(priors, sample_levels)
+    stager = _StagePipe(priors, sample_levels, prestage=False)
     for level in reversed(sample_levels):
         prior = priors[level]
         stager.ensure(level)

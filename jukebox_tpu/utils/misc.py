@@ -1,7 +1,17 @@
 """Small tree/param helpers (equivalent of jukebox/utils/torch_utils.py)."""
 
+import os
+import sys
+
 import jax
 import numpy as np
+
+
+def vlog(msg):
+    """Debug-level instrumentation line to stderr; silent unless
+    JUKEBOX_VERBOSE=1 (bench.py sets it — library callers stay quiet)."""
+    if os.environ.get("JUKEBOX_VERBOSE"):
+        print(msg, file=sys.stderr, flush=True)
 
 
 def count_parameters(params):

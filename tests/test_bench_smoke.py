@@ -57,5 +57,8 @@ def test_bench_smoke(tmp_path, monkeypatch, capsys):
     assert line["value"] > 0
     assert line["unit"] == "audio_sec/chip_hour"
     assert line["vs_baseline"] == pytest.approx(line["value"] / 0.11, rel=1e-2)
-    details = json.loads((tmp_path / "bench_details.json").read_text())
+    # non-default models write a per-model details file (bench.py keeps
+    # bench_details.json for 1b_lyrics so driver rows aren't clobbered)
+    details = json.loads(
+        (tmp_path / "bench_details_bench.json").read_text())
     assert set(details["phases"]) == {"top", "up_anc", "up_primed"}
