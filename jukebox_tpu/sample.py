@@ -119,14 +119,16 @@ def _decode_save_level(zs, labels, sampling_kwargs, priors, level, hps):
     Independent of the other levels; returns x for the html stage."""
     prior = priors[level]
     t = time.time()
-    # decode in chunks of JUKEBOX_DECODE_CHUNK_BS samples (default 2)
+    # decode in chunks of JUKEBOX_DECODE_CHUNK_BS samples (default 8)
     # rather than one device call per item: on the remote transport each
-    # call is a synchronous round trip that interleaves with in-flight
-    # sampling segments, so fewer/larger chunks halve the finalize tail.
-    # 2 keeps the fp32 decoder transients ~1.5-3 GB — bs=4 chunks measured
-    # an HBM-pressure stall next to staged weights + live ring caches.
+    # call is a synchronous round trip, so fewer/larger chunks shrink the
+    # finalize tail. Measured A/B (scripts/chip_decode_tail_probe.py,
+    # chunk bs 1/2/4/8/16 next to staged int8 weights + live ring caches):
+    # level-0 decode of 16 samples takes 7.2/6.2/6.3/5.8/3.9 s — larger is
+    # monotonically better and no HBM stall reproduced; 8 keeps a 2x
+    # transient-memory margin vs whole-batch. Table in PERF.md.
     bs = zs[level].shape[0]
-    chunk_bs = max(1, int(os.environ.get("JUKEBOX_DECODE_CHUNK_BS", "2")))
+    chunk_bs = max(1, int(os.environ.get("JUKEBOX_DECODE_CHUNK_BS", "8")))
     x = prior.decode(zs[level:], start_level=level,
                      bs_chunks=max(1, -(-bs // chunk_bs)))
     x_np = np.asarray(x)  # one device->host transfer, reused below
