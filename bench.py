@@ -420,68 +420,97 @@ def main():
                  "steady-state rates are the phase rows",
             **_provenance())
 
-    # ---- extrapolate to the full cascade -----------------------------------
-    # cascade = one full top window + the exact window schedule of the two
-    # upsampler levels for that sample length (hop_fraction 0.5).
-    if not results:
-        raise RuntimeError("no phase finished inside the budget; no number")
-
-    top_n_ctx, up_n_ctx = top_hps.n_ctx, up_hps.n_ctx
-    audio_sec_per_sample = sample_length / sr
-
-    est = dict(results)
-    notes = []
-    if "top" not in est:
-        raise RuntimeError("top phase missing; refusing to extrapolate "
-                           "the headline from upsamplers alone")
-    if "up_anc" not in est:
-        # conservative: scale top window time by token count and width^2
-        scale = (up_n_ctx / top_n_ctx) * (up_hps.prior_width ** 2
-                                          / top_hps.prior_width ** 2)
-        est["up_anc"] = dict(exec_s=est["top"]["exec_s"] * scale,
-                             bs=est["top"]["bs"])
-        notes.append("up_anc estimated from top-window rate")
-    if "up_primed" not in est:
-        # a hop window prefills n_ctx/2 and decodes n_ctx/2; counting the
-        # prefill at full decode cost overestimates time (conservative)
-        est["up_primed"] = dict(exec_s=est["up_anc"]["exec_s"],
-                                bs=est["up_anc"]["bs"])
-        notes.append("up_primed conservatively = up_anc")
-
-    t_total = est["top"]["exec_s"] * (n_samples / est["top"]["bs"])
-    for level in (0, 1):
-        total_tokens = sample_length // raw_per_level[level]
-        starts = get_starts(total_tokens, up_n_ctx, up_n_ctx // 2)
-        n_win = len(starts)
-        t_level = (est["up_anc"]["exec_s"]
-                   + (n_win - 1) * est["up_primed"]["exec_s"])
-        t_total += t_level * (n_samples / est["up_anc"]["bs"])
-        log(f"level {level}: {n_win} windows "
-            f"({total_tokens} tokens) -> {t_level:.1f}s per batch")
-    # vqvae decode + host stitching allowance (measured <2% in round-1 runs)
-    t_total *= 1.02
-
-    audio_sec = n_samples * audio_sec_per_sample
-    value = audio_sec / (t_total / 3600.0)
-    compile_total = sum(r.get("init_compile_s", 0.0)
-                        + r.get("seg_compile_s", 0.0)
-                        for r in results.values())
-    log(f"cascade estimate: {t_total:.1f}s for {audio_sec:.1f} audio-sec "
-        f"(bs {n_samples}); compile total {compile_total:.1f}s "
-        f"(excluded from throughput). notes: {notes or 'all phases measured'}")
-
-    notes.append("value is extrapolated from measured steady-state windows "
-                 "through the exact window schedule; compile_s is excluded. "
-                 "BENCH_FULL_CASCADE=1 records a measured end-to-end "
-                 "wall-clock under full_cascade.")
-    details.update(cascade_s=round(t_total, 1), audio_sec=audio_sec,
-                   compile_s=round(compile_total, 1), notes=notes,
-                   value=round(value, 3), **_provenance())
     # per-model details file: 1b (the default) keeps the historical name,
     # other models (e.g. 5b_lyrics) get their own so runs don't clobber
     # each other's ground-truth rows
     details_path = ("bench_details.json" if model == "1b_lyrics"
                     else f"bench_details_{model.split('_')[0]}.json")
+    try:
+        with open(details_path) as f:
+            prev_all = json.load(f)
+        if prev_all.get("model", model) != model:
+            prev_all = {}
+    except (OSError, ValueError):
+        prev_all = {}
+    measured_rows = [r for r in ("full_cascade", "full_cascade_cold")
+                     if r in details]
+    if not results and not measured_rows:
+        raise RuntimeError("no phase finished inside the budget; no number")
+
+    # ---- extrapolate to the full cascade -----------------------------------
+    # cascade = one full top window + the exact window schedule of the two
+    # upsampler levels for that sample length (hop_fraction 0.5).
+    if results:
+        top_n_ctx, up_n_ctx = top_hps.n_ctx, up_hps.n_ctx
+        audio_sec_per_sample = sample_length / sr
+
+        est = dict(results)
+        notes = []
+        if "top" not in est:
+            raise RuntimeError("top phase missing; refusing to extrapolate "
+                               "the headline from upsamplers alone")
+        if "up_anc" not in est:
+            # conservative: scale top window time by token count and width^2
+            scale = (up_n_ctx / top_n_ctx) * (up_hps.prior_width ** 2
+                                              / top_hps.prior_width ** 2)
+            est["up_anc"] = dict(exec_s=est["top"]["exec_s"] * scale,
+                                 bs=est["top"]["bs"])
+            notes.append("up_anc estimated from top-window rate")
+        if "up_primed" not in est:
+            # a hop window prefills n_ctx/2 and decodes n_ctx/2; counting the
+            # prefill at full decode cost overestimates time (conservative)
+            est["up_primed"] = dict(exec_s=est["up_anc"]["exec_s"],
+                                    bs=est["up_anc"]["bs"])
+            notes.append("up_primed conservatively = up_anc")
+
+        t_total = est["top"]["exec_s"] * (n_samples / est["top"]["bs"])
+        for level in (0, 1):
+            total_tokens = sample_length // raw_per_level[level]
+            starts = get_starts(total_tokens, up_n_ctx, up_n_ctx // 2)
+            n_win = len(starts)
+            t_level = (est["up_anc"]["exec_s"]
+                       + (n_win - 1) * est["up_primed"]["exec_s"])
+            t_total += t_level * (n_samples / est["up_anc"]["bs"])
+            log(f"level {level}: {n_win} windows "
+                f"({total_tokens} tokens) -> {t_level:.1f}s per batch")
+        # vqvae decode + host stitching allowance (measured <2% round-1)
+        t_total *= 1.02
+
+        audio_sec = n_samples * audio_sec_per_sample
+        value = audio_sec / (t_total / 3600.0)
+        compile_total = sum(r.get("init_compile_s", 0.0)
+                            + r.get("seg_compile_s", 0.0)
+                            for r in results.values())
+        log(f"cascade estimate: {t_total:.1f}s for {audio_sec:.1f} audio-sec "
+            f"(bs {n_samples}); compile total {compile_total:.1f}s "
+            f"(excluded from throughput). notes: "
+            f"{notes or 'all phases measured'}")
+
+        notes.append("value is extrapolated from measured steady-state "
+                     "windows through the exact window schedule; compile_s "
+                     "is excluded. BENCH_FULL_CASCADE=1 records a measured "
+                     "end-to-end wall-clock under full_cascade.")
+        details.update(cascade_s=round(t_total, 1), audio_sec=audio_sec,
+                       compile_s=round(compile_total, 1), notes=notes,
+                       value=round(value, 3), **_provenance())
+        metric = (f"audio_sec_per_chip_hour_{model}_3level_"
+                  "extrapolated_from_measured_windows")
+    else:
+        # cascade-only invocation (e.g. the cold/warm full-cascade A/B,
+        # BENCH_PHASES=none): the headline is the measured end-to-end rate;
+        # the previous run's phase rows and extrapolated value are carried
+        # forward instead of being erased from the details file
+        for k in ("phases", "cascade_s", "audio_sec", "compile_s", "value"):
+            if prev_all.get(k):
+                details[k] = prev_all[k]
+        details["notes"] = list(prev_all.get("notes", [])) + [
+            "phases/value carried forward from the previous details file; "
+            "this invocation measured only the end-to-end cascade row"]
+        value = details[measured_rows[0]]["audio_sec_per_chip_hour"]
+        details.update(**_provenance())
+        metric = (f"audio_sec_per_chip_hour_{model}_3level_"
+                  "measured_full_cascade_wallclock")
+
     for row in ("full_cascade", "full_cascade_cold"):
         if row in details:
             continue
@@ -489,13 +518,9 @@ def main():
         # (BENCH_FULL_CASCADE unset) run doesn't erase the ground-truth row;
         # carried rows keep their original git_sha/measured_at provenance
         # and are marked carried_forward
-        try:
-            with open(details_path) as f:
-                prev = json.load(f).get(row)
-            if prev and prev.get("model", model) == model:
-                details[row] = dict(prev, carried_forward=True)
-        except (OSError, ValueError):
-            pass
+        prev = prev_all.get(row)
+        if prev and prev.get("model", model) == model:
+            details[row] = dict(prev, carried_forward=True)
     try:
         with open(details_path, "w") as f:
             json.dump(details, f, indent=1)
@@ -503,7 +528,7 @@ def main():
         pass
 
     print(json.dumps({
-        "metric": f"audio_sec_per_chip_hour_{model}_3level_extrapolated_from_measured_windows",
+        "metric": metric,
         "value": round(value, 3),
         "unit": "audio_sec/chip_hour",
         "vs_baseline": round(value / BASELINE, 2),

@@ -5,6 +5,7 @@ per-hop (n_ctx, n_tokens) attention maps into a full
 (total_length, n_lyric_chars) alignment using each hop's lyric-window source
 indices (align.py:15-83)."""
 
+import os
 import time
 
 import numpy as np
@@ -48,14 +49,24 @@ def get_alignment(x, zs, labels, prior, fp16, hps):
             assert len(indices) == n_tokens
 
         # one batched attention-recording forward per hop (the reference
-        # batches the hop the same way, align.py:42-59)
+        # batches the hop the same way, align.py:42-59).
+        # JUKEBOX_ALIGN_BS=<n> microbatches the hop over samples: at 5B
+        # scale the raw params alone are ~11 GB of a 16 GB chip, so the
+        # bs=16 recording forward's activations may need bounding.
         t = time.time()
-        w_hop = prior.z_forward(jnp.asarray(z[:, start:end]), [], y,
-                                fp16=fp16, get_attn_weights=attn_layers)
-        vlog(f"[align] hop @{start} fwd {time.time() - t:.1f}s")
-        assert len(w_hop) == 1
-        alignment_hop = np.asarray(w_hop[0][:, alignment_head],
-                                   dtype=np.float32)
+        mb = int(os.environ.get("JUKEBOX_ALIGN_BS", "0")) or bs
+        parts = []
+        y_np = np.asarray(y)
+        for i in range(0, bs, mb):
+            w_hop = prior.z_forward(jnp.asarray(z[i:i + mb, start:end]), [],
+                                    y_np[i:i + mb], fp16=fp16,
+                                    get_attn_weights=attn_layers)
+            assert len(w_hop) == 1
+            parts.append(np.asarray(w_hop[0][:, alignment_head],
+                                    dtype=np.float32))
+        alignment_hop = parts[0] if len(parts) == 1 else \
+            np.concatenate(parts, axis=0)
+        vlog(f"[align] hop @{start} fwd {time.time() - t:.1f}s (mb={mb})")
         assert alignment_hop.shape == (bs, n_ctx, n_tokens)
 
         indices_hops[start] = indices_hop

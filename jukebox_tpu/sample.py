@@ -154,7 +154,12 @@ def _compute_alignments(zs, labels, sampling_kwargs, priors, hps):
     from jukebox_tpu.align import get_alignment
 
     if (priors[-1] is None or priors[-1].n_tokens == 0
-            or isinstance(priors[-1].labeller, EmptyLabeller)):
+            or isinstance(priors[-1].labeller, EmptyLabeller)
+            # models without configured alignment taps (hps alignment_layer/
+            # alignment_head, set by the lyric presets) have no attention to
+            # record — the reference crashes here instead (align.py:49)
+            or getattr(priors[-1], "alignment_layer", None) is None
+            or getattr(priors[-1], "alignment_head", None) is None):
         return None
     t = time.time()
     alignments = get_alignment(None, zs, labels[-1], priors[-1],

@@ -62,3 +62,42 @@ def test_bench_smoke(tmp_path, monkeypatch, capsys):
     details = json.loads(
         (tmp_path / "bench_details_bench.json").read_text())
     assert set(details["phases"]) == {"top", "up_anc", "up_primed"}
+
+
+def test_bench_smoke_cascade_only(tmp_path, monkeypatch, capsys):
+    """BENCH_PHASES=none + BENCH_FULL_CASCADE=1 (the cold/warm wall-clock
+    A/B mode): the headline falls back to the measured end-to-end cascade
+    rate and the details row carries provenance."""
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_vqvae",
+                        dict(_SMOKE_VQVAE))
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_up",
+                        dict(_SMOKE_UP))
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_top",
+                        dict(_SMOKE_TOP))
+    monkeypatch.setitem(make_models.MODELS, "bench_smoke",
+                        ("bench_smoke_vqvae", "bench_smoke_up",
+                         "bench_smoke_up", "bench_smoke_top"))
+    monkeypatch.setenv("BENCH_MODEL", "bench_smoke")
+    monkeypatch.setenv("BENCH_ALLOW_CPU", "1")
+    monkeypatch.setenv("BENCH_N_SAMPLES", "2")
+    monkeypatch.setenv("BENCH_BUDGET_S", "600")
+    monkeypatch.setenv("BENCH_PHASES", "none")
+    monkeypatch.setenv("BENCH_FULL_CASCADE", "1")
+    monkeypatch.setenv("BENCH_CASCADE_ROW", "full_cascade_cold")
+    monkeypatch.setenv("BENCH_INT8", "0")
+    monkeypatch.setenv("JAX_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.chdir(tmp_path)
+
+    import bench
+    bench.main()
+
+    out = capsys.readouterr().out.strip().splitlines()
+    line = json.loads(out[-1])
+    assert line["value"] > 0
+    assert "measured_full_cascade" in line["metric"]
+    details = json.loads(
+        (tmp_path / "bench_details_bench.json").read_text())
+    row = details["full_cascade_cold"]
+    assert row["wall_s"] > 0 and row["audio_sec_per_chip_hour"] > 0
+    assert "git_sha" in row and "measured_at" in row
+    assert not row.get("carried_forward")

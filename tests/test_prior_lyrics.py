@@ -140,3 +140,31 @@ def test_attention_recording_for_alignment(vqvae, single):
     assert len(ws) == 1
     # [bs, heads, music positions, lyric positions]
     assert ws[0].shape[0] == 2 and ws[0].shape[-1] == N_TOKENS
+
+
+@pytest.mark.parametrize("single", [True])
+def test_alignment_microbatch_identical(vqvae, single, monkeypatch):
+    """JUKEBOX_ALIGN_BS=1 (per-sample recording forwards — bounds the
+    alignment's activation HBM at 5B scale, align.py) must stitch the same
+    alignments as the whole-batch hop forward."""
+    from jukebox_tpu.align import get_alignment
+    from jukebox_tpu.hparams import Hyperparams
+
+    hps = setup_hparams("teeny", _base(single))
+    hps["prior_depth"] = 16  # ensure a func-7 layer exists (d%16==15)
+    prior = make_prior(hps, vqvae)
+    prior.alignment_layer, prior.alignment_head = 15, 1
+    labels = _labels(prior)
+    z = np.asarray(jax.random.randint(jax.random.key(2), (2, N_CTX * 2), 0, 32))
+    zs = [None, z]  # top level codes only (levels=2)
+    shps = Hyperparams(levels=2, hop_fraction=(0.5, 0.5))
+
+    monkeypatch.delenv("JUKEBOX_ALIGN_BS", raising=False)
+    full = get_alignment(None, zs, labels, prior, False, shps)
+    monkeypatch.setenv("JUKEBOX_ALIGN_BS", "1")
+    micro = get_alignment(None, zs, labels, prior, False, shps)
+
+    assert len(full) == len(micro) == 2
+    for a, b in zip(full, micro):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-6)
