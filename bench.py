@@ -37,6 +37,7 @@ at bs=32 (the extrapolation accounts for the top running as two
 microbatches of 16). See PERF.md for recorded numbers.
 """
 
+import io
 import json
 import os
 import signal
@@ -156,6 +157,15 @@ def timed_window(prior, n, rng, z, z_conds, y, chunk_size, sample_tokens=None):
 def main():
     import jax
 
+    # hang diagnosis: `kill -USR1 <pid>` dumps every thread's Python stack
+    # to stderr without disturbing the run (the axon tunnel can wedge)
+    import faulthandler
+    import signal
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (io.UnsupportedOperation, AttributeError, ValueError):
+        pass  # no real stderr fd (pytest capture) / no SIGUSR1 (non-posix)
+
     # persistent compile cache: the remote-compile tunnel takes minutes per
     # graph; cached compiles make reruns pay only once. The cache dir is
     # untracked (machine-specific AOT artifacts must never ship in git).
@@ -172,7 +182,10 @@ def main():
     except OSError:
         pass
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
+    # 10s keeps every TPU graph that matters (the vqvae decode compile is
+    # ~30s borderline and was silently recompiling on "warm" runs) while the
+    # <1MB sweep above still evicts the problematic small host-CPU entries
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     # expose the host CPU backend alongside the TPU so billion-param priors
     # initialise host-side and stage per level
     if not os.environ.get("BENCH_ALLOW_CPU"):

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from jukebox_tpu.hparams import Hyperparams
 from jukebox_tpu.utils.cli import fire
-from jukebox_tpu.utils.misc import vlog
+from jukebox_tpu.utils.misc import vlog, yield_to_transfers
 from jukebox_tpu.utils.sample_utils import get_starts
 
 
@@ -58,6 +58,7 @@ def get_alignment(x, zs, labels, prior, fp16, hps):
         parts = []
         y_np = np.asarray(y)
         for i in range(0, bs, mb):
+            yield_to_transfers()  # bulk weight stages get the tunnel first
             w_hop = prior.z_forward(jnp.asarray(z[i:i + mb, start:end]), [],
                                     y_np[i:i + mb], fp16=fp16,
                                     get_attn_weights=attn_layers)
