@@ -182,10 +182,22 @@ def main():
     except OSError:
         pass
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # 10s keeps every TPU graph that matters (the vqvae decode compile is
-    # ~30s borderline and was silently recompiling on "warm" runs) while the
-    # <1MB sweep above still evicts the problematic small host-CPU entries
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # BENCH_CACHE_DEBUG=1: log persistent-cache misses plus the per-component
+    # cache-key hashes (computation / XLA flags / compile_options / ...) so
+    # two runs' logs can be diffed to find WHY a "warm" run recompiled
+    if os.environ.get("BENCH_CACHE_DEBUG"):
+        import logging
+        logging.basicConfig(level=logging.WARNING, stream=sys.stderr)
+        jax.config.update("jax_explain_cache_misses", True)
+        for mod in ("jax._src.compilation_cache", "jax._src.cache_key",
+                    "jax._src.compiler"):
+            logging.getLogger(mod).setLevel(logging.DEBUG)
+    # 2s keeps every TPU graph that matters: jit_sample_segment compiles in
+    # 7.9-9.8s and a 10s floor silently recompiled it on every "warm" run
+    # (measured, cascade_warmA/B_r4.log). The <1MB startup sweep above still
+    # evicts the problematic small host-CPU entries (sub-2s compiles are the
+    # sub-second utility jits, which never reach the floor anyway)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     # expose the host CPU backend alongside the TPU so billion-param priors
     # initialise host-side and stage per level
     if not os.environ.get("BENCH_ALLOW_CPU"):
@@ -208,6 +220,39 @@ def main():
     log(f"bench device: {dev}")
     if dev.platform == "cpu" and not os.environ.get("BENCH_ALLOW_CPU"):
         raise RuntimeError("bench must run on TPU (set BENCH_ALLOW_CPU=1 to override)")
+
+    # tunnel health probe: the axon transport's bandwidth varies by the hour
+    # (measured 500 MB/s idle vs ~2 MB/s degraded) and dominates run-to-run
+    # wall-clock variance. Record what THIS run actually got so the
+    # full-cascade numbers are interpretable.
+    def tunnel_health():
+        import jax.numpy as jnp
+        nbytes = 64 << 20
+        a = np.ones(nbytes // 4, np.float32)
+        t = time.time()
+        d = jax.device_put(a, dev)
+        jax.block_until_ready(d)
+        h2d = nbytes / 1e6 / (time.time() - t)
+        t = time.time()
+        np.asarray(d)
+        d2h = nbytes / 1e6 / (time.time() - t)
+        one = jax.device_put(np.float32(1.0), dev)
+        f = jax.jit(lambda x: x + 1.0)
+        jax.block_until_ready(f(one))  # compile outside the timing
+        t = time.time()
+        for _ in range(5):
+            jax.block_until_ready(f(one))
+        rt_ms = (time.time() - t) / 5 * 1e3
+        del d
+        return dict(h2d_mb_s=round(h2d, 1), d2h_mb_s=round(d2h, 1),
+                    dispatch_rt_ms=round(rt_ms, 1))
+
+    tunnel = (tunnel_health() if not os.environ.get("BENCH_SKIP_TUNNEL_PROBE")
+              else {})
+    if tunnel:
+        log(f"tunnel: H2D {tunnel['h2d_mb_s']:.0f} MB/s, "
+            f"D2H {tunnel['d2h_mb_s']:.0f} MB/s, "
+            f"round-trip {tunnel['dispatch_rt_ms']:.0f} ms")
 
     os.environ.setdefault("JUKEBOX_INIT_CACHE", "1")
     os.environ.setdefault("JUKEBOX_STAGE_CACHE", "1")
@@ -257,6 +302,7 @@ def main():
     # build priors lazily per phase so a budget blowup still yields numbers
     results = {}   # phase -> timed_window result dicts
     details = dict(model=model, n_samples=n_samples, device=str(dev),
+                   tunnel=tunnel,
                    mode=quantize or "bf16", phases={})
 
     def run_phase(name, fn):
@@ -431,7 +477,7 @@ def main():
             audio_sec_per_chip_hour=round(full_rate, 2),
             note="wall-clock includes compile + host->HBM staging; "
                  "steady-state rates are the phase rows",
-            **_provenance())
+            tunnel=tunnel, **_provenance())
 
     # per-model details file: 1b (the default) keeps the historical name,
     # other models (e.g. 5b_lyrics) get their own so runs don't clobber

@@ -61,10 +61,11 @@ def get_alignment(x, zs, labels, prior, fp16, hps):
             yield_to_transfers()  # bulk weight stages get the tunnel first
             w_hop = prior.z_forward(jnp.asarray(z[i:i + mb, start:end]), [],
                                     y_np[i:i + mb], fp16=fp16,
-                                    get_attn_weights=attn_layers)
+                                    get_attn_weights=attn_layers,
+                                    attn_head=alignment_head)
             assert len(w_hop) == 1
-            parts.append(np.asarray(w_hop[0][:, alignment_head],
-                                    dtype=np.float32))
+            yield_to_transfers()  # the D2H below also wedges mid-stage
+            parts.append(np.asarray(w_hop[0], dtype=np.float32))
         alignment_hop = parts[0] if len(parts) == 1 else \
             np.concatenate(parts, axis=0)
         vlog(f"[align] hop @{start} fwd {time.time() - t:.1f}s (mb={mb})")

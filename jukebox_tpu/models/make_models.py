@@ -391,6 +391,7 @@ class PriorRuntime:
         self._z_forward_attn = ent["z_forward_attn"]
         self._staged_light = self._staged_dec = None
         self._staged_mode = None
+        self._params_host = None
         # serializes param residency moves: the async cascade runs decode,
         # alignment and pre-staging on separate threads that all
         # read-modify-write self.params / the staged trees
@@ -398,13 +399,27 @@ class PriorRuntime:
 
     def to_host(self):
         with self._move_lock:
-            self.params = jax.tree_util.tree_map(np.asarray, self.params)
+            if getattr(self, "_params_host", None) is not None:
+                # sampling/alignment never mutates params, so the host tree
+                # kept by to_device is still current: restoring the reference
+                # avoids a full-raw-params D2H readback (2.6 GB at 1b scale —
+                # measured 370+ s on a degraded axon tunnel)
+                self.params = self._params_host
+            else:
+                self.params = jax.tree_util.tree_map(np.asarray, self.params)
+            self._params_host = None
             self._staged_light = self._staged_dec = None
             self._staged_mode = None
 
     def to_device(self):
         with self._move_lock:
-            self.params = _gated_device_put(self.params)
+            host = self.params
+            self.params = _gated_device_put(host)
+            # only a genuinely host-resident tree can serve as the to_host
+            # restore point (double to_device must not pin device arrays)
+            leaves = jax.tree_util.tree_leaves(host)
+            self._params_host = host if (
+                leaves and isinstance(leaves[0], np.ndarray)) else None
 
     def stage_decode(self, quantize=None, mesh=None):
         with self._move_lock:
@@ -541,8 +556,15 @@ class PriorRuntime:
                fp16=False, temp=1.0, top_k=0, top_p=0.0, chunk_size=None,
                sample_tokens=None, segment_tokens="auto"):
         rng = rng if rng is not None else jax.random.key(np.random.randint(2**31))
+        y_host = None
         if y is not None:
-            y = jnp.asarray(np.asarray(y))
+            # keep the host copy: _sample_init's cond_bs1 check needs the
+            # values, and a device->host readback issued while a bulk weight
+            # stage is in flight wedges the axon transport for minutes
+            # (measured: the level-1 pre-stage crawled at ~2 MB/s behind a
+            # blocked np.asarray(y) of this very array)
+            y_host = np.asarray(y)
+            y = jnp.asarray(y_host)
         if z is not None and z.shape[1] == 0:
             z = None
         if z_conds is not None:
@@ -552,30 +574,33 @@ class PriorRuntime:
         if segment_tokens:
             return self._sample_segmented(
                 n_samples, z, z_conds, y, rng, fp16, temp, top_k, top_p,
-                chunk_size, sample_tokens, segment_tokens)
+                chunk_size, sample_tokens, segment_tokens, y_host=y_host)
         return self._sample(self.params, n_samples, rng, z=z, z_conds=z_conds,
                             y=y, fp16=fp16, temp=temp, top_k=top_k, top_p=top_p,
                             chunk_size=chunk_size, sample_tokens=sample_tokens)
 
     def _sample_init(self, params, n_samples, z=None, z_conds=None, y=None,
-                     **kw):
+                     y_host=None, **kw):
         """Host wrapper over the jitted sample_init: detect the standard
         windowed-sampling case where every sample shares identical labels
         (same window -> same offset/length/artist/lyrics) and collapse the
         conditioning to batch 1 (static cond_bs1). Only non-x_cond (top)
-        priors qualify — upsampler x_cond derives from per-sample z_conds."""
+        priors qualify — upsampler x_cond derives from per-sample z_conds.
+        The check reads y_host (the host mirror kept by sample()) when
+        available: a D2H readback of device y here can stall minutes behind
+        a concurrent bulk weight stage on the axon transport."""
         cond_bs1 = False
         mesh = (self._staged_mode or (None, None, None))[1]
         if (not self.model.x_cond and y is not None and n_samples > 1
                 and mesh is None):  # sharded sample axis needs full batch
-            ya = np.asarray(y)
+            ya = y_host if y_host is not None else np.asarray(y)
             cond_bs1 = bool((ya == ya[:1]).all())
         return self._sample_init_jit(params, n_samples, z=z, z_conds=z_conds,
                                      y=y, cond_bs1=cond_bs1, **kw)
 
     def _sample_segmented(self, n_samples, z, z_conds, y, rng, fp16, temp,
                           top_k, top_p, chunk_size, sample_tokens,
-                          segment_tokens):
+                          segment_tokens, y_host=None):
         """Windowed decode as a host loop over fixed-size token segments:
         each device call stays short (bounded transport latency, resumable
         progress) and the segment graph is compiled once and reused across
@@ -586,10 +611,19 @@ class PriorRuntime:
             call_params, dec = self._staged_light, self._staged_dec
         else:
             call_params, dec = self.params, None
+        yield_to_transfers()  # don't dispatch the prefill into a bulk stage
+        t_init = time.time()
         caches, x_tok, x_cond, y_cond, encoder_kv = self._sample_init(
-            call_params, n_samples, z=z, z_conds=z_conds, y=y, fp16=fp16,
-            chunk_size=chunk_size, dec_params=dec,
+            call_params, n_samples, z=z, z_conds=z_conds, y=y, y_host=y_host,
+            fp16=fp16, chunk_size=chunk_size, dec_params=dec,
             prefill_mb=_prefill_mb(n_samples))
+        # JUKEBOX_SEG_TIMING=1: block per stage for accurate walls (adds a
+        # host-device round-trip per segment — diagnosis runs only)
+        seg_timing = bool(os.environ.get("JUKEBOX_SEG_TIMING"))
+        if seg_timing:
+            jax.block_until_ready(x_tok)
+            vlog(f"[segmented] init {time.time() - t_init:.1f}s "
+                 f"(prefix {model.sample_prefix_len(z)})")
         t = model.sample_prefix_len(z)
         total = sample_tokens if sample_tokens is not None else model.n_ctx
         if model.single_enc_dec:
@@ -598,11 +632,15 @@ class PriorRuntime:
         while t < total:
             yield_to_transfers()  # let a pending bulk weight stage drain
             n = min(segment_tokens, total - t)
+            t_seg = time.time()
             seg, caches, x_tok = self._sample_segment(
                 call_params, caches, x_tok, np.int32(t), n, rng,
                 x_cond=x_cond, y_cond=y_cond, encoder_kv=encoder_kv,
                 fp16=fp16, temp=temp, top_k=top_k, top_p=top_p,
                 dec_params=dec)
+            if seg_timing:
+                jax.block_until_ready(x_tok)
+                vlog(f"[segmented] seg @{t}+{n} {time.time() - t_seg:.1f}s")
             toks.append(seg)
             t += n
         z_out = model.sample_finish(jnp.concatenate(toks, axis=1), z=z)
@@ -612,15 +650,24 @@ class PriorRuntime:
         return z_out
 
     def z_forward(self, z, z_conds=(), y=None, fp16=False, get_preds=False,
-                  get_attn_weights=False):
+                  get_attn_weights=False, attn_head=None):
         if get_attn_weights:
             layers = frozenset(get_attn_weights)
-            key = (layers, fp16)
+            key = (layers, fp16, attn_head)
             if key not in self._z_forward_attn:
-                self._z_forward_attn[key] = jax.jit(
-                    lambda params, z, z_conds, y: self.model.z_forward(
-                        params, z, z_conds=z_conds, y=y, fp16=fp16,
-                        get_attn_weights=layers))
+                def fwd(params, z, z_conds, y, _layers=layers,
+                        _fp16=fp16, _head=attn_head):
+                    ws = self.model.z_forward(
+                        params, z, z_conds=z_conds, y=y, fp16=_fp16,
+                        get_attn_weights=_layers)
+                    if _head is None:
+                        return ws
+                    # select the alignment head and cast in-jit: D2H of the
+                    # full per-layer maps is heads x 2 larger (alignment
+                    # reads ONE fp16-precision head; the axon tunnel pays
+                    # ~0.5 GB per hop otherwise)
+                    return [w[:, _head].astype(jnp.float16) for w in ws]
+                self._z_forward_attn[key] = jax.jit(fwd)
             if y is not None:
                 y = jnp.asarray(np.asarray(y))
             return self._z_forward_attn[key](self.params, z, list(z_conds), y)

@@ -22,6 +22,7 @@ from jukebox_tpu.hparams import Hyperparams
 from jukebox_tpu.models.make_models import make_model
 from jukebox_tpu.utils.audio_utils import load_audio, save_wav
 from jukebox_tpu.utils.cli import fire
+from jukebox_tpu.utils.misc import yield_to_transfers
 from jukebox_tpu.utils.sample_utils import get_starts, split_batch
 
 
@@ -88,6 +89,7 @@ def sample_single_window(zs, labels, sampling_kwargs, level, prior, start,
                                    z_conds=z_conds_i, y=y_i,
                                    rng=jax.random.fold_in(rng, start * 131 + i),
                                    **kwargs)
+        yield_to_transfers()  # D2H readback mid-bulk-stage wedges the tunnel
         z_samples.append(np.asarray(z_samples_i))
     z = np.concatenate(z_samples, axis=0)
     _tlog(f"level {level} window @{start}: {time.time() - t_win:.1f}s "
@@ -131,7 +133,18 @@ def _decode_save_level(zs, labels, sampling_kwargs, priors, level, hps):
     chunk_bs = max(1, int(os.environ.get("JUKEBOX_DECODE_CHUNK_BS", "8")))
     x = prior.decode(zs[level:], start_level=level,
                      bs_chunks=max(1, -(-bs // chunk_bs)))
-    x_np = np.asarray(x)  # one device->host transfer, reused below
+    # read the audio back as on-device int16 PCM (the wav artifact's exact
+    # format): 4x fewer D2H bytes — the axon tunnel's return path degrades
+    # to ~MB/s at times, and fp32 audio for bs=16 is 50 MB per level. The
+    # float copy kept in data.jkb quantizes to 1/32767 (inaudible; the wav
+    # bits are identical either way). JUKEBOX_PCM16_READBACK=0 restores the
+    # full-precision readback.
+    if os.environ.get("JUKEBOX_PCM16_READBACK", "1") != "0":
+        pcm = jnp.asarray(jnp.clip(x, -1, 1) * 32767, jnp.int16)
+        yield_to_transfers()
+        x_np = np.asarray(pcm).astype(np.float32) / 32767.0
+    else:
+        x_np = np.asarray(x)  # one device->host transfer, reused below
     if hasattr(prior, "to_host"):
         prior.to_host()
     _tlog(f"level {level} vqvae decode: {time.time() - t:.1f}s")
