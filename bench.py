@@ -334,6 +334,8 @@ def main():
                 gc.collect()
                 time.sleep(30)
                 fn()
+            if name not in results:
+                raise RuntimeError(f"phase {name} recorded no result")
             r = results[name]
             log(f"phase {name}: init {r['init_s']:.1f}s "
                 f"(+{r['init_compile_s']:.0f}s compile), "
@@ -343,6 +345,16 @@ def main():
             details["phases"][name] = dict(r, tok_per_s=round(r["tok_per_s"], 2))
         except BudgetExceeded:
             log(f"phase {name}: ABORTED at budget")
+        except Exception as e:  # noqa: BLE001
+            # a persistently failing phase (e.g. an OOM at this batch size)
+            # must not take the other phases' measurements down with it:
+            # record the failure as data and keep going
+            msg = str(e)
+            details["phases"][name] = dict(
+                error=("RESOURCE_EXHAUSTED" if "RESOURCE_EXHAUSTED" in msg
+                       else msg[:300]))
+            log(f"phase {name}: FAILED ({details['phases'][name]['error']});"
+                " continuing with remaining phases")
         finally:
             signal.alarm(0)
 
@@ -351,9 +363,15 @@ def main():
     top = {}
 
     def phase_top():
-        top["prior"] = make_prior(setup_hparams(
-            prior_names[-1], dict(sample_length=sample_length,
-                                  restore_prior="", fp16_params=True)), vqvae)
+        # idempotent: the OOM-retry path re-enters with the prior already
+        # built — rebuilding would hold TWO host param trees (~22 GB each at
+        # 5b) and re-stage on top of the still-staged weights, turning a
+        # transient OOM into a guaranteed one (measured, bench_5b_r4.log)
+        if "prior" not in top:
+            top["prior"] = make_prior(setup_hparams(
+                prior_names[-1], dict(sample_length=sample_length,
+                                      restore_prior="", fp16_params=True)),
+                vqvae)
         prior = top["prior"]
         prior.stage_decode(quantize=quantize)
         total_length = 240 * sr
@@ -493,7 +511,26 @@ def main():
         prev_all = {}
     measured_rows = [r for r in ("full_cascade", "full_cascade_cold")
                      if r in details]
+
+    def write_details():
+        for row in ("full_cascade", "full_cascade_cold"):
+            if row in details:
+                continue
+            # carry the last MEASURED end-to-end wall-clock forward so a
+            # plain (BENCH_FULL_CASCADE unset) run doesn't erase the
+            # ground-truth row; carried rows keep their original
+            # git_sha/measured_at provenance and are marked carried_forward
+            prev = prev_all.get(row)
+            if prev and prev.get("model", model) == model:
+                details[row] = dict(prev, carried_forward=True)
+        try:
+            with open(details_path, "w") as f:
+                json.dump(details, f, indent=1)
+        except OSError:
+            pass
+
     if not results and not measured_rows:
+        write_details()  # keep any per-phase error rows for diagnosis
         raise RuntimeError("no phase finished inside the budget; no number")
 
     # ---- extrapolate to the full cascade -----------------------------------
@@ -506,6 +543,11 @@ def main():
         est = dict(results)
         notes = []
         if "top" not in est:
+            # persist the upsampler measurements + the top phase's error row
+            # before refusing: a failed flagship phase must not erase the
+            # data the run DID collect
+            details.update(**_provenance())
+            write_details()
             raise RuntimeError("top phase missing; refusing to extrapolate "
                                "the headline from upsamplers alone")
         if "up_anc" not in est:
@@ -570,21 +612,7 @@ def main():
         metric = (f"audio_sec_per_chip_hour_{model}_3level_"
                   "measured_full_cascade_wallclock")
 
-    for row in ("full_cascade", "full_cascade_cold"):
-        if row in details:
-            continue
-        # carry the last MEASURED end-to-end wall-clock forward so a plain
-        # (BENCH_FULL_CASCADE unset) run doesn't erase the ground-truth row;
-        # carried rows keep their original git_sha/measured_at provenance
-        # and are marked carried_forward
-        prev = prev_all.get(row)
-        if prev and prev.get("model", model) == model:
-            details[row] = dict(prev, carried_forward=True)
-    try:
-        with open(details_path, "w") as f:
-            json.dump(details, f, indent=1)
-    except OSError:
-        pass
+    write_details()
 
     print(json.dumps({
         "metric": metric,

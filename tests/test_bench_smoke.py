@@ -101,3 +101,45 @@ def test_bench_smoke_cascade_only(tmp_path, monkeypatch, capsys):
     assert row["wall_s"] > 0 and row["audio_sec_per_chip_hour"] > 0
     assert "git_sha" in row and "measured_at" in row
     assert not row.get("carried_forward")
+
+
+def test_bench_smoke_phase_failure_persists(tmp_path, monkeypatch, capsys):
+    """A failing phase must be recorded as an error row and must not take
+    the other phases' measurements down with it (the r4 5b bench OOM'd the
+    top phase and lost the whole run). The headline extrapolation still
+    refuses without a measured top phase — but only AFTER persisting what
+    the run did collect."""
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_vqvae",
+                        dict(_SMOKE_VQVAE))
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_up",
+                        dict(_SMOKE_UP))
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_top",
+                        dict(_SMOKE_TOP))
+    monkeypatch.setitem(make_models.MODELS, "bench_smoke",
+                        ("bench_smoke_vqvae", "bench_smoke_up",
+                         "bench_smoke_up", "bench_smoke_top"))
+    monkeypatch.setenv("BENCH_MODEL", "bench_smoke")
+    monkeypatch.setenv("BENCH_ALLOW_CPU", "1")
+    monkeypatch.setenv("BENCH_N_SAMPLES", "2")
+    monkeypatch.setenv("BENCH_BUDGET_S", "600")
+    monkeypatch.setenv("JAX_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.chdir(tmp_path)
+
+    real_make_prior = make_models.make_prior
+
+    def failing_top_make_prior(hps, vqvae):
+        if hps.level == 2:  # the top prior of the 3-level smoke family
+            raise RuntimeError("RESOURCE_EXHAUSTED: injected top-phase OOM")
+        return real_make_prior(hps, vqvae)
+
+    monkeypatch.setattr(make_models, "make_prior", failing_top_make_prior)
+
+    import bench
+    with pytest.raises(RuntimeError, match="top phase missing"):
+        bench.main()
+
+    details = json.loads(
+        (tmp_path / "bench_details_bench.json").read_text())
+    assert details["phases"]["top"] == {"error": "RESOURCE_EXHAUSTED"}
+    for name in ("up_anc", "up_primed"):
+        assert details["phases"][name]["tok_per_s"] > 0
