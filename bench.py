@@ -476,26 +476,41 @@ def main():
             n_tokens=priors[-1].n_tokens,
             name=tempfile.mkdtemp(prefix="bench_cascade_"), seed=0)
         zs = [np.zeros((cascade_bs, 0), dtype=np.int64) for _ in priors]
-        t0 = time.time()
-        zs = _sample(zs, labels, skw, priors, [0, 1, 2], hps_s)
-        wall = time.time() - t0
-        audio = cascade_bs * sample_length / sr
-        full_rate = audio / (wall / 3600.0)
-        log(f"full cascade: {wall:.1f}s wall (incl. compile/staging) for "
-            f"{audio:.1f} audio-sec at bs={cascade_bs} -> "
-            f"{full_rate:.1f} audio-sec/chip-hour measured end-to-end")
         # BENCH_CASCADE_ROW names the details row: the cold/warm-start A/B
         # (VERDICT r3 #4) records a first-invocation run as
         # full_cascade_cold and the warm rerun as full_cascade
         row = os.environ.get("BENCH_CASCADE_ROW", "full_cascade")
-        details[row] = dict(
-            wall_s=round(wall, 1), audio_sec=audio, bs=cascade_bs,
-            model=model, quantize=quantize or "bf16",
-            pipelined=os.environ.get("JUKEBOX_PIPELINE", "1") != "0",
-            audio_sec_per_chip_hour=round(full_rate, 2),
-            note="wall-clock includes compile + host->HBM staging; "
-                 "steady-state rates are the phase rows",
-            tunnel=tunnel, **_provenance())
+        t0 = time.time()
+        try:
+            zs = _sample(zs, labels, skw, priors, [0, 1, 2], hps_s)
+        except Exception as e:  # noqa: BLE001
+            # a cascade crash (OOM, tunnel fault) must not erase the phase
+            # measurements this same invocation already collected: record
+            # the failure as data and fall through to write_details()
+            # keyed apart from the measured row so the failure can neither
+            # clobber a prior ground-truth row nor be mistaken for one
+            details[row + "_error"] = dict(
+                error=str(e)[:300], wall_s=round(time.time() - t0, 1),
+                bs=cascade_bs, model=model,
+                quantize=quantize or "bf16", **_provenance())
+            log(f"full cascade: FAILED after "
+                f"{details[row + '_error']['wall_s']:.1f}s "
+                f"({details[row + '_error']['error']})")
+        else:
+            wall = time.time() - t0
+            audio = cascade_bs * sample_length / sr
+            full_rate = audio / (wall / 3600.0)
+            log(f"full cascade: {wall:.1f}s wall (incl. compile/staging) for "
+                f"{audio:.1f} audio-sec at bs={cascade_bs} -> "
+                f"{full_rate:.1f} audio-sec/chip-hour measured end-to-end")
+            details[row] = dict(
+                wall_s=round(wall, 1), audio_sec=audio, bs=cascade_bs,
+                model=model, quantize=quantize or "bf16",
+                pipelined=os.environ.get("JUKEBOX_PIPELINE", "1") != "0",
+                audio_sec_per_chip_hour=round(full_rate, 2),
+                note="wall-clock includes compile + host->HBM staging; "
+                     "steady-state rates are the phase rows",
+                tunnel=tunnel, **_provenance())
 
     # per-model details file: 1b (the default) keeps the historical name,
     # other models (e.g. 5b_lyrics) get their own so runs don't clobber
