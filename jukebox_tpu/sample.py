@@ -190,6 +190,25 @@ def _html_level(x, zs, labels, level, hps, alignments):
     _tlog(f"level {level} html: {time.time() - t:.1f}s")
 
 
+def _align_deferred(prior):
+    """Whether the alignment forward must wait for ALL levels to finish
+    sampling instead of overlapping the lower levels (pipelined scheduler).
+    get_alignment stages the top prior's RAW params (to_device); at 5B scale
+    that is ~11 GB of a 16 GB chip, which cannot coexist with a lower
+    level's staged weights + live ring caches. Small tops (1b: ~2.6 GB)
+    keep the overlap — it is measured wall-clock win (PERF.md).
+    JUKEBOX_ALIGN_DEFER=1/0 forces either way."""
+    env = os.environ.get("JUKEBOX_ALIGN_DEFER")
+    if env is not None:
+        return env != "0"
+    try:
+        raw = sum(leaf.nbytes
+                  for leaf in jax.tree_util.tree_leaves(prior.params))
+    except Exception:  # noqa: BLE001 — unknown param container: be safe
+        return True
+    return raw > 6e9
+
+
 class _FinalizePipe:
     """Run the per-level finalize tail on background workers so it
     overlaps the remaining levels' sampling windows. Two independent
@@ -218,10 +237,12 @@ class _FinalizePipe:
                                                 thread_name_prefix="finalize")
             self._aux_pool = ThreadPoolExecutor(max_workers=2,
                                                 thread_name_prefix="align")
+        import threading
         self._align_fut = None
         self._tails = []
         self._inline_alignments = None
         self._inline_done = False
+        self._sampling_done = threading.Event()
 
     def submit(self, zs, labels, sampling_kwargs, priors, level, hps):
         zs_snap = list(zs)
@@ -247,9 +268,16 @@ class _FinalizePipe:
             # it releases the top prior's staged weights (to_host) before
             # the alignment re-stages the raw params.
             top_dec = dec_fut
+            defer = _align_deferred(priors[-1])
+            if defer:
+                _tlog("alignment deferred until all levels finish sampling "
+                      "(top prior raw params too large to overlap lower "
+                      "levels' HBM residency)")
 
             def align_work():
                 top_dec.result()
+                if defer:
+                    self._sampling_done.wait()
                 return _compute_alignments(zs_snap, labels, sampling_kwargs,
                                            priors, hps)
             self._align_fut = self._aux_pool.submit(align_work)
@@ -261,6 +289,13 @@ class _FinalizePipe:
         self._tails.append(self._aux_pool.submit(html_work))
 
     def join(self):
+        # called after every level's sampling loop has finished: a deferred
+        # alignment (5B-scale raw params) may now take the whole chip.
+        # NOTE: the LAST level's decode/save still shares the device with
+        # the alignment forward; _decode_save_level ends with to_host and
+        # the dec worker is ordered before align for the top level, and the
+        # bottom level's staged weights are ~1 GB — measured to coexist.
+        self._sampling_done.set()
         for f in self._tails:
             f.result()
         if self._dec_pool is not None:

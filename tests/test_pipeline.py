@@ -126,6 +126,34 @@ def test_pipelined_cascade_token_identical(tiny_models, tmp_path):
         assert os.path.exists(f"{hps_pipe.name}/level_{level}/item_0.wav")
 
 
+def test_pipelined_cascade_deferred_alignment(tiny_models, tmp_path,
+                                              monkeypatch):
+    """JUKEBOX_ALIGN_DEFER=1 (auto-on at 5B scale, where the alignment's
+    raw-param staging cannot overlap lower levels' HBM residency) holds the
+    alignment worker until every level finishes sampling; the cascade must
+    neither deadlock nor change tokens/artifacts."""
+    vqvae, priors = tiny_models
+    monkeypatch.setenv("JUKEBOX_ALIGN_DEFER", "1")
+    common = dict(n_samples=2, sample_length=1024, sr=8000,
+                  hop_fraction=(0.5, 0.5), levels=2, n_tokens=0, seed=0)
+    sampling_kwargs = [dict(temp=0.99, fp16=False, chunk_size=8,
+                            max_batch_size=2)] * 2
+    labels = [p.labeller.get_batch_labels([{}, {}]) for p in priors]
+    hps = Hyperparams(name=str(tmp_path / "defer"), pipeline_cascade=True,
+                      **common)
+    zs = _sample([np.zeros((2, 0), dtype=np.int64) for _ in priors],
+                 labels, sampling_kwargs, priors, [0, 1], hps)
+    monkeypatch.delenv("JUKEBOX_ALIGN_DEFER")
+    hps_ref = Hyperparams(name=str(tmp_path / "nodefer"),
+                          pipeline_cascade=True, **common)
+    zs_ref = _sample([np.zeros((2, 0), dtype=np.int64) for _ in priors],
+                     labels, sampling_kwargs, priors, [0, 1], hps_ref)
+    for a, b in zip(zs, zs_ref):
+        np.testing.assert_array_equal(a, b)
+    for level in (0, 1):
+        assert os.path.exists(f"{hps.name}/level_{level}/item_0.wav")
+
+
 def test_jit_sharing_token_identity(monkeypatch):
     """The two upsampler levels of a cascade share one set of compiled
     sampling callables (same SimplePrior.jit_key; make_models._shared_jits):
