@@ -348,13 +348,25 @@ def main():
         except Exception as e:  # noqa: BLE001
             # a persistently failing phase (e.g. an OOM at this batch size)
             # must not take the other phases' measurements down with it:
-            # record the failure as data and keep going
+            # record the failure as data (keep the full message — an OOM's
+            # requested/available byte counts are the diagnosis) and RELEASE
+            # the phase's staged weights, or the leak OOMs every later phase
+            # (measured: the 5b top's 5.7 GB staying resident turned both
+            # upsampler phases into RESOURCE_EXHAUSTED too)
             msg = str(e)
-            details["phases"][name] = dict(
-                error=("RESOURCE_EXHAUSTED" if "RESOURCE_EXHAUSTED" in msg
-                       else msg[:300]))
-            log(f"phase {name}: FAILED ({details['phases'][name]['error']});"
+            details["phases"][name] = dict(error=msg[:600])
+            log(f"phase {name}: FAILED ({msg[:600]});"
                 " continuing with remaining phases")
+            for holder in (top, ups):
+                pr = holder.get("prior")
+                if pr is not None and hasattr(pr, "to_host"):
+                    try:
+                        pr.to_host()
+                    except Exception:  # noqa: BLE001
+                        pass
+            import gc
+            gc.collect()
+            time.sleep(10)  # the axon worker frees HBM asynchronously
         finally:
             signal.alarm(0)
 

@@ -140,6 +140,7 @@ def test_bench_smoke_phase_failure_persists(tmp_path, monkeypatch, capsys):
 
     details = json.loads(
         (tmp_path / "bench_details_bench.json").read_text())
-    assert details["phases"]["top"] == {"error": "RESOURCE_EXHAUSTED"}
+    # the full message is kept (an OOM's byte counts are the diagnosis)
+    assert details["phases"]["top"]["error"].startswith("RESOURCE_EXHAUSTED")
     for name in ("up_anc", "up_primed"):
         assert details["phases"][name]["tok_per_s"] > 0
