@@ -387,14 +387,37 @@ def main():
         prior = top["prior"]
         prior.stage_decode(quantize=quantize)
         total_length = 240 * sr
-        metas = [dict(artist="unknown", genre="unknown",
-                      lyrics=poems["ozymandias"], total_length=total_length,
-                      offset=0)] * bs_top
-        labels = prior.labeller.get_batch_labels(metas)
         import jax.numpy as jnp
-        y = jnp.asarray(prior.get_y(labels, 0))
-        results["top"] = timed_window(prior, bs_top, next(rngs), None, None,
-                                      y, top_chunk)
+
+        # Adaptive batch: try the shipped default first, then step down on
+        # a persistent OOM — in-process, so a failed size repays only the
+        # ring-cache allocation, not host init + weight staging (~10 min at
+        # 5b). The row records every size that OOM'd so the capacity
+        # ceiling is data, not a guess.
+        candidates = [b for b in dict.fromkeys((bs_top, 12, 8, 4, 2))
+                      if b <= bs_top]
+        oom_at, rng_top = [], next(rngs)
+        for bs_try in candidates:
+            metas = [dict(artist="unknown", genre="unknown",
+                          lyrics=poems["ozymandias"],
+                          total_length=total_length, offset=0)] * bs_try
+            labels = prior.labeller.get_batch_labels(metas)
+            y = jnp.asarray(prior.get_y(labels, 0))
+            try:
+                r = timed_window(prior, bs_try, rng_top, None, None,
+                                 y, top_chunk)
+                results["top"] = dict(r, oom_at=oom_at) if oom_at else r
+                break
+            except Exception as e:  # noqa: BLE001
+                if ("RESOURCE_EXHAUSTED" not in str(e)
+                        or bs_try == candidates[-1]):
+                    raise
+                oom_at.append(dict(bs=bs_try, error=str(e)[:300]))
+                log(f"phase top: OOM at bs={bs_try} "
+                    f"({str(e)[:200]}); stepping batch down")
+                import gc
+                gc.collect()
+                time.sleep(20)  # the axon worker frees HBM asynchronously
         prior.to_host()
 
     ups = {}
@@ -476,12 +499,15 @@ def main():
                       lyrics=poems["ozymandias"], total_length=total_length,
                       offset=0)] * cascade_bs
         labels = [p.labeller.get_batch_labels(metas) for p in priors]
+        # if the top phase stepped its batch down on OOM, the cascade's top
+        # microbatch must follow — the measured ceiling, not the default
+        bs_top_fit = results.get("top", {}).get("bs", bs_top)
         skw = [dict(temp=0.99, fp16=True, chunk_size=UP_CHUNK,
                     max_batch_size=bs_up),
                dict(temp=0.99, fp16=True, chunk_size=UP_CHUNK,
                     max_batch_size=bs_up),
                dict(temp=0.99, fp16=True, chunk_size=top_chunk,
-                    max_batch_size=bs_top)]
+                    max_batch_size=bs_top_fit)]
         hps_s = Hyperparams(
             n_samples=cascade_bs, sample_length=sample_length, sr=sr,
             hop_fraction=(0.5, 0.5, 0.125), levels=3,
