@@ -97,6 +97,12 @@ def timed_window(prior, n, rng, z, z_conds, y, chunk_size, sample_tokens=None):
     compile and is excluded when later segments exist)."""
     import jax
     import jax.numpy as jnp
+    # test hook: fake a capacity ceiling so the adaptive batch step-down is
+    # exercisable on CPU (tests/test_bench_smoke.py)
+    fake = os.environ.get("BENCH_FAKE_OOM_ABOVE_BS")
+    if fake and n > int(fake):
+        raise RuntimeError(
+            "RESOURCE_EXHAUSTED: injected (BENCH_FAKE_OOM_ABOVE_BS)")
     model = prior.model
     if prior._staged_dec is not None:
         call_params, dec = prior._staged_light, prior._staged_dec
@@ -417,7 +423,8 @@ def main():
                     f"({str(e)[:200]}); stepping batch down")
                 import gc
                 gc.collect()
-                time.sleep(20)  # the axon worker frees HBM asynchronously
+                # the axon worker frees HBM asynchronously — settle first
+                time.sleep(float(os.environ.get("BENCH_OOM_SETTLE_S", "20")))
         prior.to_host()
 
     ups = {}

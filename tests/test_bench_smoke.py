@@ -144,3 +144,40 @@ def test_bench_smoke_phase_failure_persists(tmp_path, monkeypatch, capsys):
     assert details["phases"]["top"]["error"].startswith("RESOURCE_EXHAUSTED")
     for name in ("up_anc", "up_primed"):
         assert details["phases"][name]["tok_per_s"] > 0
+
+
+def test_bench_smoke_top_batch_steps_down_on_oom(tmp_path, monkeypatch,
+                                                 capsys):
+    """The top phase steps its batch down in-process on a persistent OOM
+    (the r4 5b top OOM'd at the shipped bs=16 default; each full-process
+    retry repaid host init + staging). An injected ceiling at bs>2 must
+    yield a measured bs=2 row that records the failed size."""
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_vqvae",
+                        dict(_SMOKE_VQVAE))
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_up",
+                        dict(_SMOKE_UP))
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_top",
+                        dict(_SMOKE_TOP))
+    monkeypatch.setitem(make_models.MODELS, "bench_smoke",
+                        ("bench_smoke_vqvae", "bench_smoke_up",
+                         "bench_smoke_up", "bench_smoke_top"))
+    monkeypatch.setenv("BENCH_MODEL", "bench_smoke")
+    monkeypatch.setenv("BENCH_ALLOW_CPU", "1")
+    monkeypatch.setenv("BENCH_N_SAMPLES", "4")
+    monkeypatch.setenv("BENCH_BS_TOP", "4")
+    monkeypatch.setenv("BENCH_BUDGET_S", "600")
+    monkeypatch.setenv("BENCH_PHASES", "top")
+    monkeypatch.setenv("BENCH_FAKE_OOM_ABOVE_BS", "2")
+    monkeypatch.setenv("BENCH_OOM_SETTLE_S", "0")
+    monkeypatch.setenv("JAX_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.chdir(tmp_path)
+
+    import bench
+    bench.main()
+
+    details = json.loads(
+        (tmp_path / "bench_details_bench.json").read_text())
+    row = details["phases"]["top"]
+    assert row["bs"] == 2 and row["tok_per_s"] > 0
+    assert [o["bs"] for o in row["oom_at"]] == [4]
+    assert "RESOURCE_EXHAUSTED" in row["oom_at"][0]["error"]
