@@ -64,6 +64,34 @@ class BudgetExceeded(Exception):
     pass
 
 
+def wait_hbm_free(probe_mb=1024, max_s=240.0):
+    """Block until the device can actually satisfy a probe_mb allocation.
+
+    The axon worker frees HBM asynchronously, and when the tunnel is
+    degraded the frees land MINUTES after the Python-side del — fixed
+    sleeps (10-30 s) lost a whole 5b run to a cascade of
+    RESOURCE_EXHAUSTED on 8-byte allocations (r4, bench_5b_r4b.log).
+    Polling an on-device fill is the only reliable settle signal.
+    Returns seconds waited, or -1 on timeout (caller proceeds and lets
+    the real allocation surface the failure)."""
+    import gc
+    import jax
+    import jax.numpy as jnp
+    gc.collect()
+    t0 = time.time()
+    n = int(probe_mb) * (1 << 20) // 4
+    while True:
+        try:
+            x = jnp.zeros((n,), jnp.float32)
+            jax.block_until_ready(x)
+            del x
+            return time.time() - t0
+        except Exception:  # noqa: BLE001 — any failure means "not yet"
+            if time.time() - t0 > max_s:
+                return -1.0
+            time.sleep(10)
+
+
 def _provenance():
     """git sha + UTC date stamped into measured rows, so a row carried
     forward by a later run can never masquerade as current."""
@@ -118,10 +146,14 @@ def timed_window(prior, n, rng, z, z_conds, y, chunk_size, sample_tokens=None):
     # second init call: compile already cached -> prefill exec time. Free the
     # first call's state FIRST: two live cache sets (5-10 GiB each at 1b
     # bs 16-32) would not fit HBM alongside the staged weights. The axon
-    # worker frees asynchronously — settle before re-allocating, or the
-    # second init races the free and OOMs at bs >= 24.
+    # worker frees asynchronously — wait until the free actually LANDS
+    # before re-allocating: a fixed sleep raced it under a degraded tunnel
+    # and produced spurious capacity OOMs (5b top bs=16, bench_5b_r4b.log).
     del state
-    time.sleep(float(os.environ.get("BENCH_FREE_SETTLE_S", "10")))
+    if os.environ.get("BENCH_ALLOW_CPU"):
+        time.sleep(float(os.environ.get("BENCH_FREE_SETTLE_S", "0")))
+    else:
+        wait_hbm_free()
     t0 = time.time()
     state = prior._sample_init(call_params, n, z=z, z_conds=z_conds, y=y,
                                fp16=True, chunk_size=chunk_size,
@@ -333,12 +365,13 @@ def main():
                 # one extra 30 s sleep + phase run before surfacing.
                 if "RESOURCE_EXHAUSTED" not in str(e) or remaining() < 120:
                     raise
-                log(f"phase {name}: transient RESOURCE_EXHAUSTED, "
-                    f"retrying once after 30s (one-shot heuristic; a real "
-                    f"OOM will re-raise from the retry)")
-                import gc
-                gc.collect()
-                time.sleep(30)
+                log(f"phase {name}: transient RESOURCE_EXHAUSTED, waiting "
+                    f"for the async HBM free before the one-shot retry (a "
+                    f"real OOM will re-raise from the retry)")
+                waited = wait_hbm_free()
+                log(f"phase {name}: HBM probe settled in {waited:.0f}s"
+                    if waited >= 0 else
+                    f"phase {name}: HBM probe timed out; retrying anyway")
                 fn()
             if name not in results:
                 raise RuntimeError(f"phase {name} recorded no result")
@@ -370,9 +403,9 @@ def main():
                         pr.to_host()
                     except Exception:  # noqa: BLE001
                         pass
-            import gc
-            gc.collect()
-            time.sleep(10)  # the axon worker frees HBM asynchronously
+            # wait until the releases actually land on the worker (fixed
+            # sleeps raced the async free; measured, bench_5b_r4b.log)
+            wait_hbm_free()
         finally:
             signal.alarm(0)
 
@@ -408,8 +441,12 @@ def main():
                           lyrics=poems["ozymandias"],
                           total_length=total_length, offset=0)] * bs_try
             labels = prior.labeller.get_batch_labels(metas)
-            y = jnp.asarray(prior.get_y(labels, 0))
             try:
+                # y's device_put is inside the try: right after an OOM the
+                # failed attempt's ring caches may not have freed yet (the
+                # axon worker frees asynchronously) and even this small
+                # allocation can RESOURCE_EXHAUSTED (measured, r4 5b run)
+                y = jnp.asarray(prior.get_y(labels, 0))
                 r = timed_window(prior, bs_try, rng_top, None, None,
                                  y, top_chunk)
                 results["top"] = dict(r, oom_at=oom_at) if oom_at else r
@@ -421,10 +458,13 @@ def main():
                 oom_at.append(dict(bs=bs_try, error=str(e)[:300]))
                 log(f"phase top: OOM at bs={bs_try} "
                     f"({str(e)[:200]}); stepping batch down")
-                import gc
-                gc.collect()
-                # the axon worker frees HBM asynchronously — settle first
-                time.sleep(float(os.environ.get("BENCH_OOM_SETTLE_S", "20")))
+                # wait until the failed attempt's rings have actually freed
+                # (fixed sleeps raced the async free and cascaded failures)
+                if os.environ.get("BENCH_FAKE_OOM_ABOVE_BS"):
+                    time.sleep(float(os.environ.get("BENCH_OOM_SETTLE_S",
+                                                    "0")))
+                else:
+                    wait_hbm_free()
         prior.to_host()
 
     ups = {}
@@ -490,43 +530,53 @@ def main():
             # _sample's stage_decode() reads the runtime env knob
             os.environ["JUKEBOX_INT8_DECODE"] = "1"
         cascade_bs = int(os.environ.get("BENCH_CASCADE_BS", str(n_samples)))
-        priors = []
-        for li, name in enumerate(prior_names):
-            if li == len(prior_names) - 1 and "prior" in top:
-                pr = top["prior"]       # reuse the phase-built instances
-            elif li == 1 and "prior" in ups:
-                pr = ups["prior"]
-            else:
-                pr = make_prior(setup_hparams(
-                    name, dict(sample_length=sample_length, restore_prior="",
-                               fp16_params=True)), vqvae)
-            priors.append(pr)
-        total_length = 240 * sr
-        metas = [dict(artist="unknown", genre="unknown",
-                      lyrics=poems["ozymandias"], total_length=total_length,
-                      offset=0)] * cascade_bs
-        labels = [p.labeller.get_batch_labels(metas) for p in priors]
-        # if the top phase stepped its batch down on OOM, the cascade's top
-        # microbatch must follow — the measured ceiling, not the default
-        bs_top_fit = results.get("top", {}).get("bs", bs_top)
-        skw = [dict(temp=0.99, fp16=True, chunk_size=UP_CHUNK,
-                    max_batch_size=bs_up),
-               dict(temp=0.99, fp16=True, chunk_size=UP_CHUNK,
-                    max_batch_size=bs_up),
-               dict(temp=0.99, fp16=True, chunk_size=top_chunk,
-                    max_batch_size=bs_top_fit)]
-        hps_s = Hyperparams(
-            n_samples=cascade_bs, sample_length=sample_length, sr=sr,
-            hop_fraction=(0.5, 0.5, 0.125), levels=3,
-            n_tokens=priors[-1].n_tokens,
-            name=tempfile.mkdtemp(prefix="bench_cascade_"), seed=0)
-        zs = [np.zeros((cascade_bs, 0), dtype=np.int64) for _ in priors]
         # BENCH_CASCADE_ROW names the details row: the cold/warm-start A/B
         # (VERDICT r3 #4) records a first-invocation run as
         # full_cascade_cold and the warm rerun as full_cascade
         row = os.environ.get("BENCH_CASCADE_ROW", "full_cascade")
         t0 = time.time()
+        # the BUILD is inside the same try as the sampling: after a failed
+        # phase even make_prior's first tiny device op can OOM while the
+        # async frees land, and an uncaught crash here lost a whole run's
+        # error rows (bench_5b_r4b.log)
         try:
+            if results and any("error" in r for r in
+                               details["phases"].values()):
+                wait_hbm_free()
+            priors = []
+            for li, name in enumerate(prior_names):
+                if li == len(prior_names) - 1 and "prior" in top:
+                    pr = top["prior"]   # reuse the phase-built instances
+                elif li == 1 and "prior" in ups:
+                    pr = ups["prior"]
+                else:
+                    pr = make_prior(setup_hparams(
+                        name, dict(sample_length=sample_length,
+                                   restore_prior="", fp16_params=True)),
+                        vqvae)
+                priors.append(pr)
+            total_length = 240 * sr
+            metas = [dict(artist="unknown", genre="unknown",
+                          lyrics=poems["ozymandias"],
+                          total_length=total_length, offset=0)] * cascade_bs
+            labels = [p.labeller.get_batch_labels(metas) for p in priors]
+            # if the top phase stepped its batch down on OOM, the cascade's
+            # top microbatch must follow — the measured ceiling, not the
+            # default
+            bs_top_fit = results.get("top", {}).get("bs", bs_top)
+            skw = [dict(temp=0.99, fp16=True, chunk_size=UP_CHUNK,
+                        max_batch_size=bs_up),
+                   dict(temp=0.99, fp16=True, chunk_size=UP_CHUNK,
+                        max_batch_size=bs_up),
+                   dict(temp=0.99, fp16=True, chunk_size=top_chunk,
+                        max_batch_size=bs_top_fit)]
+            hps_s = Hyperparams(
+                n_samples=cascade_bs, sample_length=sample_length, sr=sr,
+                hop_fraction=(0.5, 0.5, 0.125), levels=3,
+                n_tokens=priors[-1].n_tokens,
+                name=tempfile.mkdtemp(prefix="bench_cascade_"), seed=0)
+            zs = [np.zeros((cascade_bs, 0), dtype=np.int64) for _ in priors]
+            t0 = time.time()
             zs = _sample(zs, labels, skw, priors, [0, 1, 2], hps_s)
         except Exception as e:  # noqa: BLE001
             # a cascade crash (OOM, tunnel fault) must not erase the phase
