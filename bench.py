@@ -21,7 +21,10 @@ compiled segment graph reused everywhere); the first segment carries the
 compile and is excluded from the steady-state tokens/sec. Compile totals go
 to stderr and bench_details.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. The
+parsed value is the MEASURED end-to-end full-cascade rate whenever this
+invocation ran one (the default); the window-schedule extrapolation is the
+secondary number in the details file.
 
 Env knobs: BENCH_N_SAMPLES (default 16, the reference's own 1b max batch —
 kept for apples-to-apples comparability), BENCH_MODEL (default 1b_lyrics),
@@ -29,7 +32,11 @@ BENCH_BUDGET_S (default 1500), BENCH_PHASES (csv subset of
 top,up_anc,up_primed), BENCH_INT8=0 to measure bf16 instead of the default
 weight-only int8 decode staging (int8 ring KV caches follow the weight
 mode), BENCH_BS_TOP/BENCH_BS_UP batch overrides, BENCH_ALLOW_CPU=1 to run
-on host CPU.
+on host CPU, BENCH_FULL_CASCADE=0 to skip the measured end-to-end cascade,
+BENCH_CASCADE_FIRST=1/0 to order it before/after the phases (default:
+first at 1b, after the phases elsewhere), BENCH_TUNNEL_MIN_H2D (MB/s,
+default 200; 0 disables) + BENCH_TUNNEL_WAIT_S (default 900) gate the run
+on transport health instead of feeding the budget into a dead tunnel.
 
 Serving mode: the v5e fits decode batches the V100 never could —
 `BENCH_N_SAMPLES=32 BENCH_BS_UP=32` measures the upsamplers
@@ -64,6 +71,23 @@ class BudgetExceeded(Exception):
     pass
 
 
+def _oom_mb(msg):
+    """Best-effort parse of the requested-allocation size out of an XLA
+    RESOURCE_EXHAUSTED message ("Attempting to allocate 4.50G. ...").
+    Returns MB or None — callers fall back to a fixed probe size. Scaling
+    the settle probe to the failed allocation is VERDICT r4 weak #2: a
+    fixed 1 GiB probe can spin forever when staged weights legitimately
+    hold most of HBM even though the caller's next (smaller) allocation
+    would fit."""
+    import re
+    m = re.search(r"llocat\w*\s+([0-9.]+)\s*([KMGT])i?B?", msg)
+    if not m:
+        return None
+    val = float(m.group(1))
+    return int(val * {"K": 1 / 1024, "M": 1, "G": 1024, "T": 1 << 20}[
+        m.group(2)]) or 1
+
+
 def wait_hbm_free(probe_mb=1024, max_s=240.0):
     """Block until the device can actually satisfy a probe_mb allocation.
 
@@ -72,24 +96,58 @@ def wait_hbm_free(probe_mb=1024, max_s=240.0):
     sleeps (10-30 s) lost a whole 5b run to a cascade of
     RESOURCE_EXHAUSTED on 8-byte allocations (r4, bench_5b_r4b.log).
     Polling an on-device fill is the only reliable settle signal.
-    Returns seconds waited, or -1 on timeout (caller proceeds and lets
-    the real allocation surface the failure)."""
+
+    probe_mb should be what the CALLER is about to allocate (exact tree
+    bytes when known, the parsed OOM request size on retries, small for
+    build steps) — never "all of HBM". The probe fills in <=512 MB chunks
+    so it models a multi-buffer allocation rather than demanding one
+    contiguous region. Returns seconds waited, or -1 on timeout (caller
+    proceeds and lets the real allocation surface the failure)."""
     import gc
     import jax
     import jax.numpy as jnp
     gc.collect()
     t0 = time.time()
-    n = int(probe_mb) * (1 << 20) // 4
+    probe_mb = max(1, int(probe_mb))
+    chunk = min(512, probe_mb)
+    n_chunks = -(-probe_mb // chunk)
+    per = chunk * (1 << 20) // 4
     while True:
+        bufs = []
         try:
-            x = jnp.zeros((n,), jnp.float32)
-            jax.block_until_ready(x)
-            del x
+            for _ in range(n_chunks):
+                b = jnp.zeros((per,), jnp.float32)
+                jax.block_until_ready(b)
+                bufs.append(b)
             return time.time() - t0
         except Exception:  # noqa: BLE001 — any failure means "not yet"
             if time.time() - t0 > max_s:
                 return -1.0
-            time.sleep(10)
+            time.sleep(5)
+        finally:
+            del bufs
+
+
+def settle_retry(fn, need_mb=1024, tries=3, label=""):
+    """Run fn; on RESOURCE_EXHAUSTED wait for the freed bytes to actually
+    land (probe scaled to the failed request when parseable) and retry.
+    Covers the residual race where wait_hbm_free's own probe buffer hasn't
+    finished freeing when the real allocation lands. One code path for CPU
+    tests and the chip: on CPU the probe succeeds immediately, so the
+    production settle logic is exactly what the fake-OOM tests exercise."""
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — axon surfaces XLA status as text
+            if "RESOURCE_EXHAUSTED" not in str(e) or i == tries - 1:
+                raise
+            mb = _oom_mb(str(e)) or need_mb
+            log(f"{label}: RESOURCE_EXHAUSTED (try {i + 1}/{tries}); "
+                f"waiting for a {mb} MB probe to fit before retrying")
+            waited = wait_hbm_free(probe_mb=mb)
+            log(f"{label}: settle probe "
+                + (f"landed in {waited:.0f}s" if waited >= 0
+                   else "timed out; retrying anyway"))
 
 
 def _provenance():
@@ -149,15 +207,16 @@ def timed_window(prior, n, rng, z, z_conds, y, chunk_size, sample_tokens=None):
     # worker frees asynchronously — wait until the free actually LANDS
     # before re-allocating: a fixed sleep raced it under a degraded tunnel
     # and produced spurious capacity OOMs (5b top bs=16, bench_5b_r4b.log).
+    state_mb = sum(x.nbytes for x in jax.tree_util.tree_leaves(state)
+                   if hasattr(x, "nbytes")) >> 20
     del state
-    if os.environ.get("BENCH_ALLOW_CPU"):
-        time.sleep(float(os.environ.get("BENCH_FREE_SETTLE_S", "0")))
-    else:
-        wait_hbm_free()
+    wait_hbm_free(probe_mb=max(256, state_mb))
     t0 = time.time()
-    state = prior._sample_init(call_params, n, z=z, z_conds=z_conds, y=y,
-                               fp16=True, chunk_size=chunk_size,
-                               dec_params=dec)
+    state = settle_retry(
+        lambda: prior._sample_init(call_params, n, z=z, z_conds=z_conds, y=y,
+                                   fp16=True, chunk_size=chunk_size,
+                                   dec_params=dec),
+        need_mb=max(256, state_mb), label="timed_window init")
     caches, x_tok, x_cond, y_cond, encoder_kv = jax.block_until_ready(state)
     t_init = time.time() - t0
 
@@ -282,6 +341,12 @@ def main():
             jax.block_until_ready(f(one))
         rt_ms = (time.time() - t) / 5 * 1e3
         del d
+        # test hook: override the measured H2D so the gate logic below is
+        # exercisable on CPU (tests/test_bench_smoke.py) — the gate itself
+        # is the production code either way
+        fake = os.environ.get("BENCH_FAKE_TUNNEL_H2D")
+        if fake:
+            h2d = float(fake)
         return dict(h2d_mb_s=round(h2d, 1), d2h_mb_s=round(d2h, 1),
                     dispatch_rt_ms=round(rt_ms, 1))
 
@@ -291,6 +356,53 @@ def main():
         log(f"tunnel: H2D {tunnel['h2d_mb_s']:.0f} MB/s, "
             f"D2H {tunnel['d2h_mb_s']:.0f} MB/s, "
             f"round-trip {tunnel['dispatch_rt_ms']:.0f} ms")
+
+    # ---- tunnel health GATE (VERDICT r4 weak #3) ---------------------------
+    # r4b measured H2D 53 MB/s at +449 s and then burned the whole 3600 s
+    # budget staging into a transport that could never finish — at one real
+    # run per round, budget discipline IS measurement capacity. Below the
+    # threshold, re-probe for a bounded window (the degradation is
+    # transient by the hour, like the reference's own retry-with-backoff at
+    # init, dist_utils.py:82-99); if it stays sick, write a tunnel_sick
+    # diagnostic row and abort in minutes instead of hours.
+    min_h2d = float(os.environ.get("BENCH_TUNNEL_MIN_H2D", "200"))
+    if tunnel and min_h2d > 0 and (
+            dev.platform != "cpu" or os.environ.get("BENCH_FAKE_TUNNEL_H2D")):
+        gate_t0 = time.time()
+        gate_wait = float(os.environ.get("BENCH_TUNNEL_WAIT_S", "900"))
+        probes = [dict(tunnel, at_s=round(time.time() - T0, 1))]
+        while tunnel["h2d_mb_s"] < min_h2d:
+            if time.time() - gate_t0 > gate_wait or remaining() < 600:
+                model_early = os.environ.get("BENCH_MODEL", "1b_lyrics")
+                path = ("bench_details.json" if model_early == "1b_lyrics"
+                        else f"bench_details_{model_early.split('_')[0]}.json")
+                try:
+                    with open(path) as f:
+                        prev = json.load(f)
+                except (OSError, ValueError):
+                    prev = {}
+                prev["tunnel_sick"] = dict(
+                    probes=probes, threshold_h2d_mb_s=min_h2d,
+                    waited_s=round(time.time() - gate_t0, 1), **_provenance())
+                try:
+                    with open(path, "w") as f:
+                        json.dump(prev, f, indent=1)
+                except OSError:
+                    pass
+                raise RuntimeError(
+                    f"tunnel sick: H2D {tunnel['h2d_mb_s']} MB/s < "
+                    f"{min_h2d} MB/s after {time.time() - gate_t0:.0f}s of "
+                    f"re-probing; aborting instead of burning the budget "
+                    f"(diagnostic row written to {path})")
+            log(f"tunnel gate: H2D {tunnel['h2d_mb_s']:.0f} MB/s < "
+                f"{min_h2d:.0f} MB/s threshold; re-probing in 60s "
+                f"(gate budget {gate_wait - (time.time() - gate_t0):.0f}s)")
+            time.sleep(60)
+            tunnel = tunnel_health()
+            probes.append(dict(tunnel, at_s=round(time.time() - T0, 1)))
+            log(f"tunnel: H2D {tunnel['h2d_mb_s']:.0f} MB/s, "
+                f"D2H {tunnel['d2h_mb_s']:.0f} MB/s, "
+                f"round-trip {tunnel['dispatch_rt_ms']:.0f} ms")
 
     os.environ.setdefault("JUKEBOX_INIT_CACHE", "1")
     os.environ.setdefault("JUKEBOX_STAGE_CACHE", "1")
@@ -368,7 +480,7 @@ def main():
                 log(f"phase {name}: transient RESOURCE_EXHAUSTED, waiting "
                     f"for the async HBM free before the one-shot retry (a "
                     f"real OOM will re-raise from the retry)")
-                waited = wait_hbm_free()
+                waited = wait_hbm_free(probe_mb=_oom_mb(str(e)) or 1024)
                 log(f"phase {name}: HBM probe settled in {waited:.0f}s"
                     if waited >= 0 else
                     f"phase {name}: HBM probe timed out; retrying anyway")
@@ -381,7 +493,8 @@ def main():
                 f"{r['tok_per_s']:.1f} tok/s steady "
                 f"({r['tokens']} tokens x bs {r['bs']}), "
                 f"window exec {r['exec_s']:.1f}s")
-            details["phases"][name] = dict(r, tok_per_s=round(r["tok_per_s"], 2))
+            details["phases"][name] = dict(r, tok_per_s=round(r["tok_per_s"], 2),
+                                           **_provenance())
         except BudgetExceeded:
             log(f"phase {name}: ABORTED at budget")
         except Exception as e:  # noqa: BLE001
@@ -393,7 +506,7 @@ def main():
             # (measured: the 5b top's 5.7 GB staying resident turned both
             # upsampler phases into RESOURCE_EXHAUSTED too)
             msg = str(e)
-            details["phases"][name] = dict(error=msg[:600])
+            details["phases"][name] = dict(error=msg[:600], **_provenance())
             log(f"phase {name}: FAILED ({msg[:600]});"
                 " continuing with remaining phases")
             for holder in (top, ups):
@@ -459,12 +572,12 @@ def main():
                 log(f"phase top: OOM at bs={bs_try} "
                     f"({str(e)[:200]}); stepping batch down")
                 # wait until the failed attempt's rings have actually freed
-                # (fixed sleeps raced the async free and cascaded failures)
-                if os.environ.get("BENCH_FAKE_OOM_ABOVE_BS"):
-                    time.sleep(float(os.environ.get("BENCH_OOM_SETTLE_S",
-                                                    "0")))
-                else:
-                    wait_hbm_free()
+                # (fixed sleeps raced the async free and cascaded failures).
+                # Probe scaled to the failed request when the OOM message
+                # carries it — a full-HBM probe can spin forever with the
+                # 5.7 GB staged weights legitimately resident (VERDICT r4
+                # weak #2). Same code path on CPU tests and the chip.
+                wait_hbm_free(probe_mb=_oom_mb(str(e)) or 2048)
         prior.to_host()
 
     ups = {}
@@ -509,19 +622,22 @@ def main():
             timed_window(prior, bs_up, next(rngs), z, z_conds,
                          jnp.asarray(ups["y"]), UP_CHUNK), primed=hop)
 
-    run_phase("top", phase_top)
-    run_phase("up_anc", phase_up_anc)
-    run_phase("up_primed", phase_up_primed)
-
-    # ---- optional: one REAL end-to-end 3-level cascade, wall-clocked -------
-    # BENCH_FULL_CASCADE=1 runs the actual sample.py windowed cascade
-    # (every window, all three levels, vqvae decode, files written) and
-    # records the measured wall-clock next to the schedule-arithmetic
-    # estimate — pinning the extrapolation with a ground-truth point.
-    # Includes compile + staging (reported separately via phase timings).
-    if os.environ.get("BENCH_FULL_CASCADE"):
+    # ---- one REAL end-to-end 3-level cascade, wall-clocked ------------------
+    # DEFAULT ON (BENCH_FULL_CASCADE=0 disables): runs the actual sample.py
+    # windowed cascade (every window, all three levels, vqvae decode, files
+    # written) and records the measured wall-clock next to the
+    # schedule-arithmetic estimate. The measured rate is the parsed headline
+    # (VERDICT r4 #3: the driver-captured number each round should BE the
+    # measured end-to-end one, refreshed at HEAD). Includes compile +
+    # staging; the row embeds sample.stage_walls so the wall carries its own
+    # per-stage breakdown (VERDICT r4 weak #6).
+    def run_cascade():
+        if remaining() < 120:
+            log(f"full cascade: skipped, only {remaining():.0f}s budget left")
+            return
         import tempfile
 
+        from jukebox_tpu import sample as sample_mod
         from jukebox_tpu.hparams import Hyperparams
         from jukebox_tpu.sample import _sample
 
@@ -555,6 +671,11 @@ def main():
                                    restore_prior="", fp16_params=True)),
                         vqvae)
                 priors.append(pr)
+            # register for reuse: when the cascade runs FIRST (the 1b
+            # default order), the phases afterwards must not rebuild
+            # (idempotent stage_decode makes re-staging a cache hit)
+            top.setdefault("prior", priors[-1])
+            ups.setdefault("prior", priors[1])
             total_length = 240 * sr
             metas = [dict(artist="unknown", genre="unknown",
                           lyrics=poems["ozymandias"],
@@ -603,9 +724,31 @@ def main():
                 model=model, quantize=quantize or "bf16",
                 pipelined=os.environ.get("JUKEBOX_PIPELINE", "1") != "0",
                 audio_sec_per_chip_hour=round(full_rate, 2),
+                # THREAD-seconds per stage (finalize stages overlap the
+                # sampling windows, so the sum can exceed wall_s); the gap
+                # wall_s - sum(windows_l*) is the non-window overhead
+                # (staging waits, exec loads, host stitching)
+                stage_walls=dict(sample_mod.stage_walls),
                 note="wall-clock includes compile + host->HBM staging; "
                      "steady-state rates are the phase rows",
                 tunnel=tunnel, **_provenance())
+
+    # Ordering: at 1b (the driver's default invocation) the measured
+    # end-to-end cascade is the headline, so it runs FIRST — a budget
+    # blowup then costs phase rows, never the ground truth. At 5b the
+    # capacity ceiling is the open question, so the phases (whose adaptive
+    # step-down records the measured ceiling) run first and the cascade
+    # follows the fitting batch. BENCH_CASCADE_FIRST=1/0 overrides.
+    cascade_on = os.environ.get("BENCH_FULL_CASCADE", "1") != "0"
+    cascade_first = (os.environ.get(
+        "BENCH_CASCADE_FIRST", "1" if model == "1b_lyrics" else "0") == "1")
+    if cascade_on and cascade_first:
+        run_cascade()
+    run_phase("top", phase_top)
+    run_phase("up_anc", phase_up_anc)
+    run_phase("up_primed", phase_up_primed)
+    if cascade_on and not cascade_first:
+        run_cascade()
 
     # per-model details file: 1b (the default) keeps the historical name,
     # other models (e.g. 5b_lyrics) get their own so runs don't clobber
@@ -721,6 +864,18 @@ def main():
         details.update(**_provenance())
         metric = (f"audio_sec_per_chip_hour_{model}_3level_"
                   "measured_full_cascade_wallclock")
+
+    # ---- headline selection (VERDICT r4 #3) --------------------------------
+    # when THIS invocation measured an end-to-end cascade, that wall-clock
+    # rate IS the parsed metric; the schedule extrapolation stays in the
+    # details file (details["value"]) as the steady-state secondary number.
+    fresh = [r for r in ("full_cascade", "full_cascade_cold")
+             if r in details and not details[r].get("carried_forward")]
+    if fresh:
+        value = details[fresh[0]]["audio_sec_per_chip_hour"]
+        metric = (f"audio_sec_per_chip_hour_{model}_3level_"
+                  "measured_full_cascade_wallclock")
+        details["headline"] = fresh[0]
 
     write_details()
 

@@ -28,6 +28,28 @@ from jukebox_tpu.utils.sample_utils import get_starts, split_batch
 
 _T0 = None
 
+# Machine-readable per-stage wall accumulator for the most recent _sample
+# call: stage name -> summed seconds. Stages on background finalize threads
+# overlap the sampling windows, so the values are THREAD-seconds per stage
+# (their sum can exceed the cascade wall-clock); bench.py embeds this dict
+# into the measured full_cascade row so the end-to-end number carries its
+# own breakdown (where the non-decode wall goes).
+stage_walls = {}
+_stage_lock = None
+
+
+def _twall(key, t_start):
+    """Accumulate time since t_start under `key` in stage_walls; returns
+    the delta so call sites can log it."""
+    global _stage_lock
+    if _stage_lock is None:
+        import threading
+        _stage_lock = threading.Lock()
+    dt = time.time() - t_start
+    with _stage_lock:
+        stage_walls[key] = round(stage_walls.get(key, 0.0) + dt, 2)
+    return dt
+
 
 def _tlog(msg):
     """One stage-timing line per cascade stage (stderr): where the
@@ -92,7 +114,7 @@ def sample_single_window(zs, labels, sampling_kwargs, level, prior, start,
         yield_to_transfers()  # D2H readback mid-bulk-stage wedges the tunnel
         z_samples.append(np.asarray(z_samples_i))
     z = np.concatenate(z_samples, axis=0)
-    _tlog(f"level {level} window @{start}: {time.time() - t_win:.1f}s "
+    _tlog(f"level {level} window @{start}: {_twall(f'windows_l{level}', t_win):.1f}s "
           f"({new_tokens} new tokens, bs {n_samples})")
 
     z_new = z[:, -new_tokens:]
@@ -147,7 +169,7 @@ def _decode_save_level(zs, labels, sampling_kwargs, priors, level, hps):
         x_np = np.asarray(x)  # one device->host transfer, reused below
     if hasattr(prior, "to_host"):
         prior.to_host()
-    _tlog(f"level {level} vqvae decode: {time.time() - t:.1f}s")
+    _tlog(f"level {level} vqvae decode: {_twall('vqvae_decode', t):.1f}s")
 
     logdir = f"{hps.name}/level_{level}"
     os.makedirs(logdir, exist_ok=True)
@@ -157,7 +179,7 @@ def _decode_save_level(zs, labels, sampling_kwargs, priors, level, hps):
                          sampling_kwargs=sampling_kwargs,
                          x=x_np), f)
     save_wav(logdir, x_np, hps.sr)
-    _tlog(f"level {level} data.jkb+wav: {time.time() - t:.1f}s")
+    _tlog(f"level {level} data.jkb+wav: {_twall('save', t):.1f}s")
     return x_np
 
 
@@ -177,7 +199,7 @@ def _compute_alignments(zs, labels, sampling_kwargs, priors, hps):
     t = time.time()
     alignments = get_alignment(None, zs, labels[-1], priors[-1],
                                sampling_kwargs[-1].get("fp16", False), hps)
-    _tlog(f"alignment (top fwd + stitch): {time.time() - t:.1f}s")
+    _tlog(f"alignment (top fwd + stitch): {_twall('align', t):.1f}s")
     return alignments
 
 
@@ -187,7 +209,7 @@ def _html_level(x, zs, labels, level, hps, alignments):
     t = time.time()
     logdir = f"{hps.name}/level_{level}"
     save_html(logdir, x, zs, labels[-1], alignments, hps)
-    _tlog(f"level {level} html: {time.time() - t:.1f}s")
+    _tlog(f"level {level} html: {_twall('html', t):.1f}s")
 
 
 def _align_deferred(prior):
@@ -349,7 +371,7 @@ class _StagePipe:
                 fut.result()
             else:
                 prior.stage_decode()
-            _tlog(f"level {level} stage_decode wait: {time.time() - t:.1f}s")
+            _tlog(f"level {level} stage_decode wait: {_twall('stage_wait', t):.1f}s")
         i = self._order.index(level)
         if i + 1 < len(self._order):
             self._kick(self._order[i + 1])
@@ -468,6 +490,7 @@ def _sample(zs, labels, sampling_kwargs, priors, sample_levels, hps, rng=None):
     decoding — identical tokens, overlapped stages."""
     global _T0
     _T0 = time.time()
+    stage_walls.clear()
     rng = rng if rng is not None else jax.random.key(hps.get("seed", 0))
     # DEFAULT-ON: token-identical to the sequential cascade (tested) and
     # 22.5% less wall-clock on one chip (PERF.md). JUKEBOX_PIPELINE=0 or

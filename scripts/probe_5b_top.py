@@ -36,6 +36,17 @@ def tree_bytes(t):
     return sum(x.nbytes for x in jax.tree_util.tree_leaves(t))
 
 
+def _mem_stats(dev):
+    """Device allocator stats if the backend exposes them (axon may not)."""
+    try:
+        s = dev.memory_stats()
+        return {k: s[k] for k in ("bytes_in_use", "peak_bytes_in_use",
+                                  "largest_free_block_bytes",
+                                  "bytes_limit") if k in s}
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def main():
     import jax
 
@@ -94,8 +105,10 @@ def main():
     led["light_top_leaves"] = [
         (jax.tree_util.keystr(k), list(v.shape), str(v.dtype),
          round(v.nbytes / 1e6, 1)) for k, v in flat]
+    led["mem_stats_after_staging"] = _mem_stats(dev)
     log(f"staged_dec {led['staged_dec_gb']} GB, "
-        f"staged_light {led['staged_light_gb']} GB")
+        f"staged_light {led['staged_light_gb']} GB, "
+        f"mem_stats {led['mem_stats_after_staging']}")
     for name, shp, dt, mb in led["light_top_leaves"]:
         log(f"  light leaf {name} {shp} {dt} {mb} MB")
 
@@ -104,8 +117,11 @@ def main():
     SEG = 512
     N_SEG = int(os.environ.get("PROBE_SEGMENTS", "3"))
 
+    # ascending by default: validate the known-good size first, then walk
+    # up to the ceiling (descending poisoned the r5a run — one OOM's
+    # unfreed partial allocations took every later size down with it)
     for bs in [int(x) for x in
-               os.environ.get("PROBE_BS", "16,8").split(",")]:
+               os.environ.get("PROBE_BS", "8,12,16").split(",")]:
         run = out["runs"][str(bs)] = {}
         live = {}  # device refs for this attempt; cleared on any exit path
         try:
@@ -151,16 +167,25 @@ def main():
                                          / len(steady), 1)
             log(f"bs={bs}: {run['tok_per_s']} tok/s steady")
         except Exception as e:  # noqa: BLE001
+            # keep the FULL message: an OOM's requested/available byte
+            # counts ARE the diagnosis (the r5a probe classified it away
+            # and left the bs=16 question open)
             msg = str(e)
-            run["error"] = ("RESOURCE_EXHAUSTED"
-                            if "RESOURCE_EXHAUSTED" in msg else msg[:300])
-            log(f"bs={bs}: FAILED {run['error']}")
+            run["error"] = msg[:2000]
+            log(f"bs={bs}: FAILED {msg[:400]}")
+        run["mem_stats"] = _mem_stats(dev)
         state = caches = x_tok = x_cond = y_cond = encoder_kv = seg = None
         live.clear()
         gc.collect()
-        settle = float(os.environ.get("PROBE_SETTLE_S", "20"))
-        log(f"settling {settle:.0f}s for async frees")
-        time.sleep(settle)
+        # wait until the frees actually LAND before the next attempt: a
+        # fixed 20 s sleep poisoned every later bs in the r5a probe run
+        # (bench.py's wait_hbm_free pattern, scaled to the next rings)
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from bench import wait_hbm_free
+        waited = wait_hbm_free(probe_mb=4096, max_s=300)
+        log(f"settle probe landed in {waited:.0f}s" if waited >= 0
+            else "settle probe TIMED OUT after 300s; continuing")
 
     os.makedirs("scripts/out", exist_ok=True)
     with open("scripts/out/probe_5b_top.json", "w") as f:

@@ -181,3 +181,38 @@ def test_bench_smoke_top_batch_steps_down_on_oom(tmp_path, monkeypatch,
     assert row["bs"] == 2 and row["tok_per_s"] > 0
     assert [o["bs"] for o in row["oom_at"]] == [4]
     assert "RESOURCE_EXHAUSTED" in row["oom_at"][0]["error"]
+
+
+def test_bench_tunnel_gate_aborts_sick_run(tmp_path, monkeypatch):
+    """A sick transport must produce a diagnostic row in minutes, not a
+    dead round (the r4b 5b run measured H2D 53 MB/s at +449s and then
+    burned the whole 3600s budget into it). Below the threshold with the
+    gate window exhausted, bench aborts with a tunnel_sick row."""
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_vqvae",
+                        dict(_SMOKE_VQVAE))
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_up",
+                        dict(_SMOKE_UP))
+    monkeypatch.setitem(hparams.HPARAMS_REGISTRY, "bench_smoke_top",
+                        dict(_SMOKE_TOP))
+    monkeypatch.setitem(make_models.MODELS, "bench_smoke",
+                        ("bench_smoke_vqvae", "bench_smoke_up",
+                         "bench_smoke_up", "bench_smoke_top"))
+    monkeypatch.setenv("BENCH_MODEL", "bench_smoke")
+    monkeypatch.setenv("BENCH_ALLOW_CPU", "1")
+    monkeypatch.setenv("BENCH_N_SAMPLES", "2")
+    monkeypatch.setenv("BENCH_BUDGET_S", "600")
+    monkeypatch.setenv("BENCH_FAKE_TUNNEL_H2D", "10")
+    monkeypatch.setenv("BENCH_TUNNEL_WAIT_S", "0")
+    monkeypatch.setenv("JAX_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.chdir(tmp_path)
+
+    import bench
+    with pytest.raises(RuntimeError, match="tunnel sick"):
+        bench.main()
+
+    details = json.loads(
+        (tmp_path / "bench_details_bench.json").read_text())
+    row = details["tunnel_sick"]
+    assert row["probes"][0]["h2d_mb_s"] == 10
+    assert row["threshold_h2d_mb_s"] == 200
+    assert "git_sha" in row and "measured_at" in row
