@@ -63,10 +63,10 @@ CLAIMS = [
      r"top ancestral \(2048w[^|]*\|[^|]*\| \*\*\d+\*\* \| \*\*(\d+)\*\* \|",
      "bench_details.json", "phases.top.tok_per_s", 0.01),
     # PERF.md — 5b section (refreshed by this round's run)
-    ("PERF.md", r"\*\*audio-sec/chip-hour\*\* \| \*\*(\d+(?:\.\d+)?)\*\*",
-     "bench_details_5b.json", "value", 0.002),
-    ("PERF.md", r"\*\*(\d+(?:\.\d+)?) tok/s at bs=\d+\*\*",
+    ("PERF.md", r"top phase \*\*(\d+(?:\.\d+)?)\s+tok/s\*\*",
      "bench_details_5b.json", "phases.top.tok_per_s", 0.01),
+    ("PERF.md", r"The (\d+(?:\.\d+)?) audio-sec/chip-hour figure",
+     "bench_details_5b.json", "value", 0.002),
 ]
 
 
