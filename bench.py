@@ -271,6 +271,21 @@ def main():
     # them ("could lead to SIGILL" loader errors), so small host-side graphs
     # are kept out of the cache and stale small entries are swept.
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+    # seed the working cache from the committed snapshot on a fresh
+    # checkout (the cache dir itself is untracked; the snapshot carries the
+    # big TPU sample-graph compiles across machines/rounds)
+    seed_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".jax_cache_r3")
+    if os.path.isdir(seed_dir):
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            for f in os.listdir(seed_dir):
+                dst = os.path.join(cache_dir, f)
+                if not os.path.exists(dst):
+                    import shutil
+                    shutil.copy2(os.path.join(seed_dir, f), dst)
+        except OSError:
+            pass
     try:
         for f in os.listdir(cache_dir):
             p = os.path.join(cache_dir, f)

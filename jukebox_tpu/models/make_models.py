@@ -360,6 +360,12 @@ def _shared_jits(model):
             donate_argnums=(1,)),
         z_forward=jax.jit(
             model.z_forward, static_argnames=("fp16", "get_preds")),
+        # prime-swap staging: the lyric-encoder forward in its own jit so
+        # the 0.7 GB (5b) prime weights never share the HBM peak with the
+        # decode rings (reference swaps prime_prior per window the same
+        # way, prior.py:285-301)
+        encoder_kv_from_y=jax.jit(
+            model.encoder_kv_from_y, static_argnames=("fp16",)),
         z_forward_attn={},  # jitted attn-recording fwd per layer-set
     )
     if share:
@@ -388,8 +394,10 @@ class PriorRuntime:
         self._sample_init_jit = ent["sample_init"]
         self._sample_segment = ent["sample_segment"]
         self._z_forward = ent["z_forward"]
+        self._encoder_kv_jit = ent["encoder_kv_from_y"]
         self._z_forward_attn = ent["z_forward_attn"]
         self._staged_light = self._staged_dec = None
+        self._staged_prime_host = None
         self._staged_mode = None
         self._params_host = None
         # serializes param residency moves: the async cascade runs decode,
@@ -409,6 +417,7 @@ class PriorRuntime:
                 self.params = jax.tree_util.tree_map(np.asarray, self.params)
             self._params_host = None
             self._staged_light = self._staged_dec = None
+            self._staged_prime_host = None
             self._staged_mode = None
 
     def to_device(self):
@@ -449,11 +458,12 @@ class PriorRuntime:
         # (JUKEBOX_INT8_CACHE=1/0 overrides); part of the mode key so an
         # env flip re-stages instead of silently reusing the old form
         cache_int8 = os.environ.get("JUKEBOX_INT8_CACHE")
+        mode_key = (quantize, mesh, cache_int8,
+                    os.environ.get("JUKEBOX_SWAP_PRIME", "auto"))
         if (self._staged_dec is not None
-                and getattr(self, "_staged_mode", None)
-                == (quantize, mesh, cache_int8)):
+                and getattr(self, "_staged_mode", None) == mode_key):
             return  # already staged in this form (e.g. re-entering _sample)
-        self._staged_mode = (quantize, mesh, cache_int8)
+        self._staged_mode = mode_key
         t_prep = time.time()
         host = jax.tree_util.tree_map(np.asarray, self.params)
         if quantize not in (None, "int8"):
@@ -509,6 +519,24 @@ class PriorRuntime:
         light = dict(host)
         light["prior"] = {k: v for k, v in host["prior"].items()
                           if k != "transformer"}
+        # prime-swap staging (sep enc-dec only): keep the lyric encoder's
+        # weights HOST-side and run encoder_kv_from_y in its own jit per
+        # window init, so the prime encoder (0.7 GB fp16 at 5b) is off
+        # device before the ring caches allocate — it never contributes to
+        # the decode HBM peak. JUKEBOX_SWAP_PRIME=1/0 forces; default
+        # "auto" = swap when the prime subtrees exceed 256 MB (5b yes,
+        # test-scale no). Mirrors the reference's per-window
+        # prime_prior.cuda() -> forward -> .cpu() (prior.py:285-301).
+        swap_env = os.environ.get("JUKEBOX_SWAP_PRIME", "auto")
+        self._staged_prime_host = None
+        prime_keys = [k for k in ("prime_prior", "prime_state_proj",
+                                  "prime_state_ln") if k in light]
+        if mesh is None and swap_env != "0" and "prime_prior" in prime_keys:
+            p_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(
+                [light[k] for k in prime_keys]))
+            if swap_env == "1" or p_bytes > (256 << 20):
+                self._staged_prime_host = {k: light.pop(k)
+                                           for k in prime_keys}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             from jukebox_tpu.parallel.shardings import decode_param_specs
@@ -590,11 +618,22 @@ class PriorRuntime:
         available: a D2H readback of device y here can stall minutes behind
         a concurrent bulk weight stage on the axon transport."""
         cond_bs1 = False
-        mesh = (self._staged_mode or (None, None, None))[1]
+        mesh = (self._staged_mode or (None, None))[1]
         if (not self.model.x_cond and y is not None and n_samples > 1
                 and mesh is None):  # sharded sample axis needs full batch
             ya = y_host if y_host is not None else np.asarray(y)
             cond_bs1 = bool((ya == ya[:1]).all())
+        if (self._staged_prime_host is not None and y is not None
+                and params is self._staged_light):
+            # prime-swap: stage the lyric encoder, run it in its own jit,
+            # and drop it from HBM BEFORE sample_init allocates the rings —
+            # prime weights and ring caches never coexist at the peak
+            prime_dev = _gated_device_put(self._staged_prime_host)
+            kv = self._encoder_kv_jit(prime_dev, y,
+                                      fp16=kw.get("fp16", False))
+            kv = jax.block_until_ready(kv)
+            del prime_dev
+            kw["encoder_kv"] = kv
         return self._sample_init_jit(params, n_samples, z=z, z_conds=z_conds,
                                      y=y, cond_bs1=cond_bs1, **kw)
 

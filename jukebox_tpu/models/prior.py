@@ -326,9 +326,20 @@ class SimplePrior:
     # and across windows). fold_in(rng, absolute position) keeps the token
     # stream identical to the monolithic sample().
 
+    def encoder_kv_from_y(self, params, y, fp16=False):
+        """The lyric-encoder forward alone (sep enc-dec): lets the caller
+        run the prime encoder in its OWN jit before the decode ring caches
+        are allocated, so its weights (0.7 GB fp16 at 5b) never share the
+        HBM peak with the rings. TPU equivalent of the reference's
+        per-window prime_prior.cuda() -> forward -> .cpu() swap
+        (prior.py:285-301). params needs only the prime subtrees
+        (prime_prior / prime_state_proj / prime_state_ln)."""
+        prime = y[:, y.shape[1] - self.n_tokens:]
+        return self.get_encoder_kv(params, prime, fp16=fp16)
+
     def sample_init(self, params, n_samples, z=None, z_conds=None, y=None,
                     fp16=False, chunk_size=None, dec_params=None,
-                    prefill_mb=None, cond_bs1=False):
+                    prefill_mb=None, cond_bs1=False, encoder_kv=None):
         """Returns (caches, x_tok, x_cond, y_cond, encoder_kv). The caller
         derives the start position from the context shapes (prefix_len).
         dec_params: pre-staged segment-shaped transformer params — when
@@ -342,13 +353,16 @@ class SimplePrior:
         -segment argument and its XLA layout copy was the bs=16 OOM."""
         no_past_context = z is None or z.shape[1] == 0
         x_cond, y_cond, prime = self.get_cond(params, z_conds, y)
-        encoder_kv = None
         if self.single_enc_dec:
+            encoder_kv = None
             xs = [prime] if no_past_context else [prime, z]
             z_in, x_cond = self.prior_preprocess(xs, [None, x_cond])
             prefill_tokens = z_in
         else:
-            if prime is not None:
+            # encoder_kv may be precomputed by encoder_kv_from_y in its own
+            # jit (prime-swap staging) — then params can omit the prime
+            # encoder entirely and its weights are already off-device here
+            if prime is not None and encoder_kv is None:
                 encoder_kv = self.get_encoder_kv(params, prime, fp16=fp16)
             prefill_tokens = None if no_past_context else z
         prior = self.prior

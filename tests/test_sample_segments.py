@@ -212,3 +212,27 @@ def test_cond_bs1_mixed_labels_stays_full(vqvae):
     ref = prior.sample(segment_tokens=None, **kw)
     seg = prior.sample(segment_tokens=8, **kw)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(seg))
+
+
+def test_prime_swap_token_identical(vqvae, monkeypatch):
+    """Prime-swap staging (JUKEBOX_SWAP_PRIME): the lyric encoder's weights
+    stay host-side, its forward runs in its own jit per window init, and the
+    decode rings are built from the precomputed encoder_kv — tokens must be
+    identical to the monolithic full-params path, and the prime subtrees
+    must actually be absent from the staged light tree (that absence is the
+    5b bs=16 HBM-peak reduction)."""
+    prior = _sep_enc_dec_prior(vqvae)
+    bs = 2
+    y = _labels(prior, bs)
+    kw = dict(n_samples=bs, z=None, z_conds=None, y=y, rng=jax.random.key(31),
+              fp16=False, temp=0.99, chunk_size=8)
+    ref = prior.sample(segment_tokens=None, **kw)  # monolithic, full params
+    monkeypatch.setenv("JUKEBOX_SWAP_PRIME", "1")
+    prior.stage_decode()
+    assert prior._staged_prime_host is not None
+    assert "prime_prior" not in prior._staged_light, \
+        "prime encoder must be off the staged light tree"
+    out = prior.sample(segment_tokens=8, **kw)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    prior.to_host()
+    assert prior._staged_prime_host is None
