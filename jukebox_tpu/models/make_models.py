@@ -116,22 +116,36 @@ def _gated_device_put(tree, chunk_bytes=64 << 20):
         nonlocal size
         if not pending:
             return
-        put = jax.device_put(pending)
-        jax.block_until_ready(put)
-        out.extend(put)
+        out.extend(jax.device_put(pending))
         pending.clear()
         size = 0
 
     # announce the transfer so dispatch loops pause issuing new segments
     # (tunnel_transfer), and serialize against other bulk transfers
-    # (_XFER_LOCK) — together the chunks run at idle-tunnel bandwidth
+    # (_XFER_LOCK) — together the chunks run at idle-tunnel bandwidth.
+    # Sync ONCE at the end, not per chunk: the yield gate already pauses
+    # every dispatch loop for the whole transfer, so nothing can use the
+    # inter-chunk gaps — and each per-chunk block_until_ready costs a
+    # tunnel RETURN-path round-trip, which with D2H degraded to ~1 MB/s
+    # made the per-chunk syncs alone ~190 s (~40%) of the measured 501 s
+    # r4 cascade (0.91 GB staged at 11 MB/s while the one-shot probe
+    # measured H2D 570 MB/s the same minute; cascade_warmE_r4.log)
     with tunnel_transfer(), _XFER_LOCK:
+        unsynced = 0
         for leaf in leaves:
             pending.append(leaf)
             size += getattr(leaf, "nbytes", 0)
             if size >= chunk_bytes:
+                unsynced += size
                 flush()
+                if unsynced >= (2 << 30):
+                    # bound in-flight bytes: the transport is only proven
+                    # to 0.82 GB in a single enqueue; a 5.5 GB 5b stage
+                    # pays 2 interim syncs, not 80
+                    jax.block_until_ready(out)
+                    unsynced = 0
         flush()
+        jax.block_until_ready(out)
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

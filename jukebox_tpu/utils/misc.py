@@ -44,6 +44,8 @@ def yield_to_transfers():
             _XFER_CV.wait(timeout=1.0)
 
 
+
+
 def vlog(msg):
     """Debug-level instrumentation line to stderr; silent unless
     JUKEBOX_VERBOSE=1 (bench.py sets it — library callers stay quiet)."""
