@@ -560,9 +560,15 @@ def main():
         # a persistent OOM — in-process, so a failed size repays only the
         # ring-cache allocation, not host init + weight staging (~10 min at
         # 5b). The row records every size that OOM'd so the capacity
-        # ceiling is data, not a guess.
-        candidates = [b for b in dict.fromkeys((bs_top, 12, 8, 4, 2))
-                      if b <= bs_top]
+        # ceiling is data, not a guess. Each size is tried TWICE: the
+        # axon OOM text carries no byte counts, so the settle probe can
+        # pass while the previous attempt's ~10 GB of rings are still
+        # freeing — a single-attempt walk cascades false ceilings
+        # (measured: the r5 probe walk OOM'd bs=16 right after bs=12's
+        # rings, while a fresh-process bs=16 fit; probe_5b_top.json).
+        base = [b for b in dict.fromkeys((bs_top, 12, 8, 4, 2))
+                if b <= bs_top]
+        candidates = base[:1] + base  # default size gets one settled retry
         oom_at, rng_top = [], next(rngs)
         for bs_try in candidates:
             metas = [dict(artist="unknown", genre="unknown",
@@ -570,11 +576,11 @@ def main():
                           total_length=total_length, offset=0)] * bs_try
             labels = prior.labeller.get_batch_labels(metas)
             try:
-                # y's device_put is inside the try: right after an OOM the
-                # failed attempt's ring caches may not have freed yet (the
-                # axon worker frees asynchronously) and even this small
-                # allocation can RESOURCE_EXHAUSTED (measured, r4 5b run)
-                y = jnp.asarray(prior.get_y(labels, 0))
+                # y stays HOST numpy: _sample_init's cond_bs1 check reads
+                # y's values, and a D2H readback of device-resident y
+                # wedged a probe for 20+ min on a degraded return path
+                # (the jit transfers it H2D itself)
+                y = np.asarray(prior.get_y(labels, 0))
                 r = timed_window(prior, bs_try, rng_top, None, None,
                                  y, top_chunk)
                 results["top"] = dict(r, oom_at=oom_at) if oom_at else r
@@ -589,10 +595,14 @@ def main():
                 # wait until the failed attempt's rings have actually freed
                 # (fixed sleeps raced the async free and cascaded failures).
                 # Probe scaled to the failed request when the OOM message
-                # carries it — a full-HBM probe can spin forever with the
-                # 5.7 GB staged weights legitimately resident (VERDICT r4
-                # weak #2). Same code path on CPU tests and the chip.
-                wait_hbm_free(probe_mb=_oom_mb(str(e)) or 2048)
+                # carries it; the axon backend's text has NO byte counts,
+                # so the fallback is RING scale (the failed attempt held
+                # ~2x the ring bytes of an 8-row batch) — a 2 GB probe
+                # passed while 10 GB of rings were still freeing and
+                # cascaded false ceilings (r5 probe walk). Bounded below
+                # full HBM so it can't spin forever with the staged
+                # weights legitimately resident (VERDICT r4 weak #2).
+                wait_hbm_free(probe_mb=_oom_mb(str(e)) or 8192, max_s=600)
         prior.to_host()
 
     ups = {}

@@ -129,7 +129,10 @@ def main():
                           lyrics=poems["ozymandias"],
                           total_length=total_length, offset=0)] * bs
             labels = prior.labeller.get_batch_labels(metas)
-            y = jax.numpy.asarray(prior.get_y(labels, 0))
+            # y stays HOST numpy: the _sample_init wrapper's cond_bs1 check
+            # reads y's values, and a D2H readback of a device-resident y
+            # wedged a probe run for 20+ minutes on a degraded return path
+            y = np.asarray(prior.get_y(labels, 0))
             t0 = time.time()
             state = prior._sample_init(call_params, bs, z=None, z_conds=None,
                                        y=y, fp16=True, chunk_size=16,

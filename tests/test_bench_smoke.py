@@ -168,7 +168,6 @@ def test_bench_smoke_top_batch_steps_down_on_oom(tmp_path, monkeypatch,
     monkeypatch.setenv("BENCH_BUDGET_S", "600")
     monkeypatch.setenv("BENCH_PHASES", "top")
     monkeypatch.setenv("BENCH_FAKE_OOM_ABOVE_BS", "2")
-    monkeypatch.setenv("BENCH_OOM_SETTLE_S", "0")
     monkeypatch.setenv("JAX_CACHE_DIR", str(tmp_path / "cache"))
     monkeypatch.chdir(tmp_path)
 
@@ -179,7 +178,11 @@ def test_bench_smoke_top_batch_steps_down_on_oom(tmp_path, monkeypatch,
         (tmp_path / "bench_details_bench.json").read_text())
     row = details["phases"]["top"]
     assert row["bs"] == 2 and row["tok_per_s"] > 0
-    assert [o["bs"] for o in row["oom_at"]] == [4]
+    # the default size gets one settled retry before stepping down (a
+    # transient OOM right after a freed attempt is indistinguishable from
+    # a capacity OOM in the axon error text — measured, r5 probe walk);
+    # a PERSISTENT ceiling therefore records the top size twice
+    assert [o["bs"] for o in row["oom_at"]] == [4, 4]
     assert "RESOURCE_EXHAUSTED" in row["oom_at"][0]["error"]
 
 
