@@ -602,7 +602,24 @@ def main():
                 # cascaded false ceilings (r5 probe walk). Bounded below
                 # full HBM so it can't spin forever with the staged
                 # weights legitimately resident (VERDICT r4 weak #2).
-                wait_hbm_free(probe_mb=_oom_mb(str(e)) or 8192, max_s=600)
+                waited = wait_hbm_free(probe_mb=_oom_mb(str(e)) or 8192,
+                                       max_s=600)
+                if waited < 0:
+                    # settle TIMED OUT: the failed attempt's buffers are
+                    # not coming back in this process (measured r5: after
+                    # one segment-time OOM with a dead return path, even
+                    # the 5 GB bs=8 rings and executable LOADS kept
+                    # RESOURCE_EXHAUSTED-ing 30+ min later — every lower
+                    # size just burns 10 min on a false ceiling). Record
+                    # the ledger and stop the walk; a fresh process (or
+                    # BENCH_BS_TOP pinned to the probe ceiling) is the
+                    # only reliable retry.
+                    raise RuntimeError(
+                        "top walk aborted: settle probe timed out after an "
+                        "OOM — this process's HBM is poisoned by unfreed "
+                        f"failed allocations (oom_at={oom_at}); rerun with "
+                        "BENCH_BS_TOP pinned to the measured ceiling "
+                        "(scripts/out/probe_5b_top.json)") from e
         prior.to_host()
 
     ups = {}
