@@ -194,11 +194,23 @@ def _compute_alignments(zs, labels, sampling_kwargs, priors, hps):
             # alignment_head, set by the lyric presets) have no attention to
             # record — the reference crashes here instead (align.py:49)
             or getattr(priors[-1], "alignment_layer", None) is None
-            or getattr(priors[-1], "alignment_head", None) is None):
+            or getattr(priors[-1], "alignment_head", None) is None
+            or os.environ.get("JUKEBOX_SKIP_ALIGN") == "1"):
         return None
     t = time.time()
-    alignments = get_alignment(None, zs, labels[-1], priors[-1],
-                               sampling_kwargs[-1].get("fp16", False), hps)
+    try:
+        alignments = get_alignment(None, zs, labels[-1], priors[-1],
+                                   sampling_kwargs[-1].get("fp16", False), hps)
+    except Exception as e:  # noqa: BLE001 — degrade, don't destroy the run
+        # an alignment failure (e.g. the remote-compile helper 500-ing on
+        # the 79-layer recording graph at 5b — measured, r5 cascade run)
+        # must not take down a finished multi-kilosecond sampling cascade:
+        # the html renders without the karaoke overlay and the failure is
+        # visible in stage_walls as align_error
+        _twall("align_error", t)
+        _tlog(f"alignment FAILED after {time.time() - t:.1f}s "
+              f"({str(e)[:200]}); continuing without alignment")
+        return None
     _tlog(f"alignment (top fwd + stitch): {_twall('align', t):.1f}s")
     return alignments
 
