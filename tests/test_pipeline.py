@@ -197,3 +197,27 @@ def test_jit_sharing_token_identity(monkeypatch):
     assert v0._sample_segment is not v1._sample_segment
     np.testing.assert_array_equal(shared0, window_tokens(v0))
     np.testing.assert_array_equal(shared1, window_tokens(v1))
+
+
+def test_alignment_failure_degrades_not_fatal(monkeypatch):
+    """A failed alignment stage (e.g. the remote-compile helper 500-ing on
+    the 79-layer recording graph — measured, r5 5b cascade) must degrade to
+    alignments=None with align_error recorded in stage_walls, never destroy
+    the finished sampling cascade."""
+    import types
+
+    from jukebox_tpu import align as align_mod
+    from jukebox_tpu import sample as sample_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("INTERNAL: remote_compile: HTTP 500")
+
+    monkeypatch.setattr(align_mod, "get_alignment", boom)
+    fake_top = types.SimpleNamespace(
+        n_tokens=4, labeller=object(), alignment_layer=1, alignment_head=0)
+    sample_mod.stage_walls.clear()
+    out = sample_mod._compute_alignments(
+        zs=[], labels=[None], sampling_kwargs=[dict(fp16=False)],
+        priors=[fake_top], hps=Hyperparams(name="x"))
+    assert out is None
+    assert "align_error" in sample_mod.stage_walls
