@@ -687,6 +687,13 @@ def main():
         if quantize:
             # _sample's stage_decode() reads the runtime env knob
             os.environ["JUKEBOX_INT8_DECODE"] = "1"
+        if model != "1b_lyrics":
+            # the pipelined scheduler keeps every level's weights staged;
+            # at 5b that sum (6.07 + 0.82 + 0.82 GB weights + 10.07 GB top
+            # rings) exceeds the 17.18 GB chip — measured OOM in the first
+            # top window (r5 run 2). Sequential is the documented
+            # memory-conservative mode; JUKEBOX_PIPELINE=1 overrides.
+            os.environ.setdefault("JUKEBOX_PIPELINE", "0")
         cascade_bs = int(os.environ.get("BENCH_CASCADE_BS", str(n_samples)))
         # BENCH_CASCADE_ROW names the details row: the cold/warm-start A/B
         # (VERDICT r3 #4) records a first-invocation run as

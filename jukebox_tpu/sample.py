@@ -143,6 +143,14 @@ def _decode_save_level(zs, labels, sampling_kwargs, priors, level, hps):
     Independent of the other levels; returns x for the html stage."""
     prior = priors[level]
     t = time.time()
+    # release this level's staged decode weights BEFORE the vqvae decode:
+    # only vqvae weights are read below, and on the async finalize thread
+    # the decode (107 s of D2H at 5b) otherwise overlaps the next level's
+    # sampling with the finished level's 6 GB still resident — the r5
+    # sequential 5b cascade OOM'd exactly there (level-1 hop prefill with
+    # the top still staged)
+    if hasattr(prior, "to_host"):
+        prior.to_host()
     # decode in chunks of JUKEBOX_DECODE_CHUNK_BS samples (default 8)
     # rather than one device call per item: on the remote transport each
     # call is a synchronous round trip, so fewer/larger chunks shrink the
@@ -167,8 +175,6 @@ def _decode_save_level(zs, labels, sampling_kwargs, priors, level, hps):
         x_np = np.asarray(pcm).astype(np.float32) / 32767.0
     else:
         x_np = np.asarray(x)  # one device->host transfer, reused below
-    if hasattr(prior, "to_host"):
-        prior.to_host()
     _tlog(f"level {level} vqvae decode: {_twall('vqvae_decode', t):.1f}s")
 
     logdir = f"{hps.name}/level_{level}"
