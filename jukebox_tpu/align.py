@@ -41,41 +41,46 @@ def get_alignment(x, zs, labels, prior, fp16, hps):
         prior.to_device()  # reference: prior.cuda() (align.py:34)
     vlog(f"[align] to_device {time.time() - t:.1f}s")
 
-    for start in get_starts(total_length, n_ctx, hop_length):
-        end = start + n_ctx
-        y, indices_hop = prior.get_y(labels, start, get_indices=True)
-        assert len(indices_hop) == bs
-        for indices in indices_hop:
-            assert len(indices) == n_tokens
+    try:
+        for start in get_starts(total_length, n_ctx, hop_length):
+            end = start + n_ctx
+            y, indices_hop = prior.get_y(labels, start, get_indices=True)
+            assert len(indices_hop) == bs
+            for indices in indices_hop:
+                assert len(indices) == n_tokens
 
-        # one batched attention-recording forward per hop (the reference
-        # batches the hop the same way, align.py:42-59).
-        # JUKEBOX_ALIGN_BS=<n> microbatches the hop over samples: at 5B
-        # scale the raw params alone are ~11 GB of a 16 GB chip, so the
-        # bs=16 recording forward's activations may need bounding.
-        t = time.time()
-        mb = int(os.environ.get("JUKEBOX_ALIGN_BS", "0")) or bs
-        parts = []
-        y_np = np.asarray(y)
-        for i in range(0, bs, mb):
-            yield_to_transfers()  # bulk weight stages get the tunnel first
-            w_hop = prior.z_forward(jnp.asarray(z[i:i + mb, start:end]), [],
-                                    y_np[i:i + mb], fp16=fp16,
-                                    get_attn_weights=attn_layers,
-                                    attn_head=alignment_head)
-            assert len(w_hop) == 1
-            yield_to_transfers()  # the D2H below also wedges mid-stage
-            parts.append(np.asarray(w_hop[0], dtype=np.float32))
-        alignment_hop = parts[0] if len(parts) == 1 else \
-            np.concatenate(parts, axis=0)
-        vlog(f"[align] hop @{start} fwd {time.time() - t:.1f}s (mb={mb})")
-        assert alignment_hop.shape == (bs, n_ctx, n_tokens)
+            # one batched attention-recording forward per hop (the reference
+            # batches the hop the same way, align.py:42-59).
+            # JUKEBOX_ALIGN_BS=<n> microbatches the hop over samples: at 5B
+            # scale the raw params alone are ~11 GB of a 16 GB chip, so the
+            # bs=16 recording forward's activations may need bounding.
+            t = time.time()
+            mb = int(os.environ.get("JUKEBOX_ALIGN_BS", "0")) or bs
+            parts = []
+            y_np = np.asarray(y)
+            for i in range(0, bs, mb):
+                yield_to_transfers()  # bulk weight stages drain first
+                w_hop = prior.z_forward(jnp.asarray(z[i:i + mb, start:end]),
+                                        [], y_np[i:i + mb], fp16=fp16,
+                                        get_attn_weights=attn_layers,
+                                        attn_head=alignment_head)
+                assert len(w_hop) == 1
+                yield_to_transfers()  # the D2H below also wedges mid-stage
+                parts.append(np.asarray(w_hop[0], dtype=np.float32))
+            alignment_hop = parts[0] if len(parts) == 1 else \
+                np.concatenate(parts, axis=0)
+            vlog(f"[align] hop @{start} fwd {time.time() - t:.1f}s (mb={mb})")
+            assert alignment_hop.shape == (bs, n_ctx, n_tokens)
 
-        indices_hops[start] = indices_hop
-        alignment_hops[start] = alignment_hop
-
-    if hasattr(prior, "to_host"):
-        prior.to_host()
+            indices_hops[start] = indices_hop
+            alignment_hops[start] = alignment_hop
+    finally:
+        # ALWAYS release the staged raw params: a failed hop forward (the
+        # remote-compile helper 500-ing on the 79L recording graph) left
+        # 11.2 GB staged and OOM'd the level-0 vqvae decode behind it
+        # (measured, r5 5b cascade run 5)
+        if hasattr(prior, "to_host"):
+            prior.to_host()
 
     # stitch hops into the full alignment per item
     alignments = []

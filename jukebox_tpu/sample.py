@@ -280,6 +280,7 @@ class _FinalizePipe:
         import threading
         self._align_fut = None
         self._tails = []
+        self._dec_futs = []
         self._inline_alignments = None
         self._inline_done = False
         self._sampling_done = threading.Event()
@@ -302,6 +303,7 @@ class _FinalizePipe:
             return
         dec_fut = self._dec_pool.submit(_decode_save_level, zs_snap, labels,
                                         sampling_kwargs, priors, level, hps)
+        self._dec_futs.append(dec_fut)
         if self._align_fut is None:
             # first finalized level = top: its codes are what the
             # alignment forward consumes. Wait for the top decode first —
@@ -317,7 +319,16 @@ class _FinalizePipe:
             def align_work():
                 top_dec.result()
                 if defer:
+                    # wait for sampling AND every level's decode/save: the
+                    # deferred alignment stages 11.2 GB of raw params at
+                    # 5b, and a level-0 vqvae decode running concurrently
+                    # OOM'd behind it (measured, r5 cascade run 5). By
+                    # sampling_done every decode future exists, so this
+                    # snapshot is complete — alignment becomes the last
+                    # device stage, sharing the chip with nothing.
                     self._sampling_done.wait()
+                    for f in list(self._dec_futs):
+                        f.result()
                 return _compute_alignments(zs_snap, labels, sampling_kwargs,
                                            priors, hps)
             self._align_fut = self._aux_pool.submit(align_work)
