@@ -825,6 +825,15 @@ def main():
             prev = prev_all.get(row)
             if prev and prev.get("model", model) == model:
                 details[row] = dict(prev, carried_forward=True)
+        # likewise the measured PHASE rows and their extrapolation: a
+        # cascade-only (or failed) invocation must not erase them — three
+        # r5 5b cascade attempts each clobbered the fresh phase rows on
+        # their way out before this carry existed
+        if not details.get("phases") and prev_all.get("phases"):
+            details["phases"] = prev_all["phases"]
+            for k in ("cascade_s", "audio_sec", "compile_s", "value"):
+                if k not in details and k in prev_all:
+                    details[k] = prev_all[k]
         try:
             with open(details_path, "w") as f:
                 json.dump(details, f, indent=1)

@@ -63,9 +63,9 @@ CLAIMS = [
      r"top ancestral \(2048w[^|]*\|[^|]*\| \*\*\d+\*\* \| \*\*(\d+)\*\* \|",
      "bench_details.json", "phases.top.tok_per_s", 0.01),
     # PERF.md — 5b section (refreshed by this round's run)
-    ("PERF.md", r"top phase \*\*(\d+(?:\.\d+)?)\s+tok/s\*\*",
+    ("PERF.md", r"heads 8\) \| \*\*(\d+(?:\.\d+)?)\*\* \| 12 \|",
      "bench_details_5b.json", "phases.top.tok_per_s", 0.01),
-    ("PERF.md", r"The (\d+(?:\.\d+)?) audio-sec/chip-hour figure",
+    ("PERF.md", r"extrapolation: \*\*(\d+(?:\.\d+)?) audio-sec/chip-hour\*\*",
      "bench_details_5b.json", "value", 0.002),
 ]
 
