@@ -631,8 +631,14 @@ def main():
                 prior_names[1], dict(sample_length=sample_length,
                                      restore_prior="", fp16_params=True)),
                 vqvae)
-            prior = ups["prior"]
-            prior.stage_decode(quantize=quantize)
+        prior = ups["prior"]
+        # outside the build-if: when the cascade ran FIRST it registered
+        # the prior instance (ups.setdefault) but not y, and the cascade's
+        # finalize to_host'd the staged weights — both must be (re)done
+        # here (stage_decode is an idempotent cache hit when still staged;
+        # the r5 1b run lost both up phases to a KeyError('y') otherwise)
+        prior.stage_decode(quantize=quantize)
+        if "y" not in ups:
             total_length = 240 * sr
             metas = [dict(artist="unknown", genre="unknown", lyrics="",
                           total_length=total_length, offset=0)] * bs_up
