@@ -310,6 +310,16 @@ def run(hps="teeny", port=29500, **kwargs):
     from jukebox_tpu.models.make_models import enable_warm_start
     from jukebox_tpu.parallel.dist import setup_dist
 
+    # hang diagnosis: `kill -USR1 <pid>` dumps every thread's stack to
+    # stderr WITHOUT killing the run — unregistered, SIGUSR1's default
+    # action terminated a 17-minute-compile train run (r5)
+    try:
+        import faulthandler
+        import signal as _signal
+        faulthandler.register(_signal.SIGUSR1, all_threads=True)
+    except Exception:  # noqa: BLE001 — best-effort (pytest capture, win)
+        pass
+
     enable_warm_start()  # persistent compile + init caches across runs
     rank, world = setup_dist()
     hps = setup_hparams(hps, kwargs)
