@@ -817,8 +817,10 @@ def main():
             prev_all = {}
     except (OSError, ValueError):
         prev_all = {}
-    measured_rows = [r for r in ("full_cascade", "full_cascade_cold")
-                     if r in details]
+    measured_rows = sorted(
+        (r for r in details if r.startswith("full_cascade")
+         and not r.endswith("_error")),
+        key=lambda r: (r != "full_cascade", r))  # canonical row first
 
     def write_details():
         for row in ("full_cascade", "full_cascade_cold"):
@@ -933,8 +935,12 @@ def main():
     # when THIS invocation measured an end-to-end cascade, that wall-clock
     # rate IS the parsed metric; the schedule extrapolation stays in the
     # details file (details["value"]) as the steady-state secondary number.
-    fresh = [r for r in ("full_cascade", "full_cascade_cold")
-             if r in details and not details[r].get("carried_forward")]
+    fresh = sorted(
+        (r for r in details
+         if r.startswith("full_cascade") and not r.endswith("_error")
+         and isinstance(details[r], dict)
+         and not details[r].get("carried_forward")),
+        key=lambda r: (r != "full_cascade", r))
     if fresh:
         value = details[fresh[0]]["audio_sec_per_chip_hour"]
         metric = (f"audio_sec_per_chip_hour_{model}_3level_"
