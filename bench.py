@@ -35,7 +35,8 @@ mode), BENCH_BS_TOP/BENCH_BS_UP batch overrides, BENCH_ALLOW_CPU=1 to run
 on host CPU, BENCH_FULL_CASCADE=0 to skip the measured end-to-end cascade,
 BENCH_CASCADE_FIRST=1/0 to order it before/after the phases (default:
 first at 1b, after the phases elsewhere), BENCH_TUNNEL_MIN_H2D (MB/s,
-default 200; 0 disables) + BENCH_TUNNEL_WAIT_S (default 900) gate the run
+default 200 for 5b-scale models, 10 at 1b where a degraded run still
+completes; 0 disables) + BENCH_TUNNEL_WAIT_S (default 900) gate the run
 on transport health instead of feeding the budget into a dead tunnel.
 
 Serving mode: the v5e fits decode batches the V100 never could —
@@ -380,7 +381,15 @@ def main():
     # transient by the hour, like the reference's own retry-with-backoff at
     # init, dist_utils.py:82-99); if it stays sick, write a tunnel_sick
     # diagnostic row and abort in minutes instead of hours.
-    min_h2d = float(os.environ.get("BENCH_TUNNEL_MIN_H2D", "200"))
+    # default threshold scales with what the run risks: a 5b run feeds
+    # ~12 GB of staging into the transport and burned a whole r4 budget at
+    # 53 MB/s — gate it hard. The 1b default run stages ~2.6 GB total and
+    # completed in 442 s even with D2H at 0.9 MB/s (r5 measured) — for it,
+    # aborting costs more than running degraded, so the bar is token-level
+    # (10 MB/s).
+    model_early = os.environ.get("BENCH_MODEL", "1b_lyrics")
+    min_h2d = float(os.environ.get(
+        "BENCH_TUNNEL_MIN_H2D", "200" if model_early != "1b_lyrics" else "10"))
     if tunnel and min_h2d > 0 and (
             dev.platform != "cpu" or os.environ.get("BENCH_FAKE_TUNNEL_H2D")):
         gate_t0 = time.time()
@@ -388,7 +397,6 @@ def main():
         probes = [dict(tunnel, at_s=round(time.time() - T0, 1))]
         while tunnel["h2d_mb_s"] < min_h2d:
             if time.time() - gate_t0 > gate_wait or remaining() < 600:
-                model_early = os.environ.get("BENCH_MODEL", "1b_lyrics")
                 path = ("bench_details.json" if model_early == "1b_lyrics"
                         else f"bench_details_{model_early.split('_')[0]}.json")
                 try:
