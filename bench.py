@@ -465,9 +465,14 @@ def main():
         top_chunk, top_mbs = 32, 16
     else:
         # reference 5b settings: chunk 16, max_batch_size 3 on V100 16GB
-        # (sample.py:231-241); int8 decode staging fits more rows per v5e
-        # (int8 ring caches lifted the r2 bs=8 ceiling to 16)
-        top_chunk, top_mbs = 16, (16 if int8 else 3)
+        # (sample.py:231-241). int8 staging + rings fit 4x that on a v5e:
+        # the measured ceiling is bs=12 at 1242 tok/s (r5,
+        # scripts/out/probe_5b_top.json — rings sublane-pad to 16 rows so
+        # 12 is ring-free; 13-16 OOM the first decode segment's B-scaling
+        # workspace). Shipping the probed ceiling avoids re-paying the
+        # 16->12 walk (~15 min + abort risk on a degraded tunnel) per run;
+        # BENCH_BS_TOP=16 re-tests the ceiling.
+        top_chunk, top_mbs = 16, (12 if int8 else 3)
     bs_top = min(n_samples, int(os.environ.get("BENCH_BS_TOP", top_mbs)))
     bs_up = min(n_samples, int(os.environ.get("BENCH_BS_UP", 16)))
     quantize = "int8" if int8 else None
